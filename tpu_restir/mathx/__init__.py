@@ -1,0 +1,138 @@
+"""Vector-math core (the glm layer of the reference, as jnp array ops).
+
+All functions operate on arrays whose last axis is the 3-vector axis and
+broadcast over leading (pixel/ray) axes — the SoA equivalent of the
+reference's per-pixel glm code (reference pg/utils.cpp, pg/Distribution.h).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_restir.mathx.color import aces, srgb_compress, srgb_expand  # noqa: F401
+from tpu_restir.mathx.special import calc_i_m, ibeta_nonnorm  # noqa: F401
+
+_EPS = 1e-30
+
+
+def dot(a, b):
+    """Batched 3-vector dot product -> (...,)."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def dot1(a, b):
+    """Batched dot product keeping the last axis -> (..., 1)."""
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def length(v):
+    return jnp.sqrt(jnp.maximum(dot(v, v), 0.0))
+
+
+def normalize(v):
+    """Safe normalize: zero vectors map to zero (not NaN)."""
+    n2 = dot1(v, v)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, _EPS))
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def reflect(i, n):
+    """glm::reflect — i points toward the surface."""
+    return i - 2.0 * dot1(n, i) * n
+
+
+def refract(i, n, eta):
+    """glm::refract. Returns 0 on total internal reflection.
+
+    eta broadcast: (...,) or scalar.
+    """
+    eta = jnp.asarray(eta)[..., None]
+    ndi = dot1(n, i)
+    k = 1.0 - eta * eta * (1.0 - ndi * ndi)
+    refr = eta * i - (eta * ndi + jnp.sqrt(jnp.maximum(k, 0.0))) * n
+    return jnp.where(k < 0.0, 0.0, refr)
+
+
+def orthogonal(v):
+    """A vector orthogonal to v (reference Utils::orthogonal, pg/utils.cpp:204-207)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    use_x = jnp.abs(x) > jnp.abs(z)
+    ox = jnp.where(use_x, y, jnp.zeros_like(x))
+    oy = jnp.where(use_x, -x, z)
+    oz = jnp.where(use_x, jnp.zeros_like(x), -y)
+    return jnp.stack([ox, oy, oz], axis=-1)
+
+
+def onb(n):
+    """Orthonormal basis (o1, o2) around unit n.
+
+    Matches the Gram-Schmidt frame used by both distributions in the
+    reference (pg/Distribution.h:20-25): o2 = normalize(orthogonal(n)),
+    o1 = normalize(cross(n, o2)), o2 = normalize(cross(o1, n)).
+    """
+    o2 = normalize(orthogonal(n))
+    o1 = normalize(cross(n, o2))
+    o2 = normalize(cross(o1, n))
+    return o1, o2
+
+
+def to_world(o1, o2, n, local):
+    """Transform local (x, y, z) [z along n] into world space."""
+    return (local[..., 0:1] * o1 + local[..., 1:2] * o2 + local[..., 2:3] * n)
+
+
+def max_component(v):
+    return jnp.max(v, axis=-1)
+
+
+def power_heuristic(pdf, pdf_other):
+    """Power heuristic beta=2 (reference pg/DirectMISIntegrator.cpp:10-15)."""
+    p2 = pdf * pdf
+    q2 = pdf_other * pdf_other
+    return jnp.where(p2 + q2 > 0.0, p2 / (p2 + q2), 0.0)
+
+
+def cartesian_to_spherical(p):
+    """(theta, phi, r) per reference Utils (pg/utils.cpp:272-278)."""
+    theta = jnp.arctan2(p[..., 1], p[..., 0])
+    phi = jnp.arctan2(jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2), p[..., 2])
+    r = length(p)
+    return jnp.stack([theta, phi, r], axis=-1)
+
+
+def spherical_to_cartesian(s):
+    theta, phi, r = s[..., 0], s[..., 1], s[..., 2]
+    return jnp.stack(
+        [r * jnp.cos(theta) * jnp.sin(phi),
+         r * jnp.sin(theta) * jnp.sin(phi),
+         r * jnp.cos(phi)], axis=-1)
+
+
+def schlick(incident, normal, ior1, ior2):
+    """Scalar Schlick approximation (reference Utils::schlickApprox)."""
+    f0 = ((ior1 - ior2) / (ior1 + ior2)) ** 2
+    cos_t = jnp.maximum(dot(-incident, normal), 0.0)
+    return f0 + (1.0 - f0) * (1.0 - cos_t) ** 5
+
+
+def schlick_f0(incident, normal, f0):
+    """Vector Schlick with explicit F0 (reference Utils::schlickApprox3)."""
+    cos_t = jnp.maximum(dot1(-incident, normal), 0.0)
+    return f0 + (1.0 - f0) * (1.0 - cos_t) ** 5
+
+
+def sanitize(radiance, *, count=False):
+    """NaN / negative radiance scrubber (reference pg/Integrator.cpp:6-23).
+
+    The reference logs and zeroes NaN or negative components per sample.
+    Returns scrubbed radiance (and the number of bad pixels if count).
+    """
+    bad = jnp.isnan(radiance) | (radiance < 0.0)
+    out = jnp.where(bad, 0.0, radiance)
+    if count:
+        return out, jnp.sum(bad)
+    return out

@@ -1,0 +1,207 @@
+"""Ray-scene intersection: the framework's Embree replacement.
+
+The reference delegates closest-hit and occlusion queries to Embree's BVH
+(rtcIntersect1/rtcOccluded1, pg/Intersection.h:8-113). On TPU the same
+queries are answered by data-parallel triangle tests:
+
+* `brute` backend: vectorized Möller-Trumbore over triangle blocks with a
+  running-min carry — correctness baseline, and genuinely fast for small
+  scenes because every op is a dense VPU op.
+* `woop_mxu` backend (tpu_restir.kernels.woop): per-triangle affine
+  world->unit-triangle transforms turn the test into two large matmuls
+  that run on the MXU.
+* `bvh` backend (tpu_restir.accel): wide-BVH cluster culling on top of the
+  dense tests for large scenes.
+
+All entry points accept (..., 3) ray SoA and broadcast scalars; large ray
+counts are processed in fixed-size chunks via lax.map to bound memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpu_restir import mathx
+from tpu_restir.config import IntersectorConfig
+
+_INF = jnp.float32(jnp.inf)
+_DET_EPS = 1e-18
+
+
+class Hit(struct.PyTreeNode):
+    t: jnp.ndarray     # (...,) distance along the ray
+    u: jnp.ndarray     # (...,) barycentric (vertex 1 weight)
+    v: jnp.ndarray     # (...,) barycentric (vertex 2 weight)
+    tri: jnp.ndarray   # (...,) int32 triangle index (-1 on miss)
+    hit: jnp.ndarray   # (...,) bool
+
+
+class HitInfo(struct.PyTreeNode):
+    """Interpolated hit payload (reference pg/HitInfo.h:4-23)."""
+
+    did_hit: jnp.ndarray      # (...,) bool
+    point: jnp.ndarray        # (..., 3)
+    normal: jnp.ndarray       # (..., 3) shading normal, flipped toward viewer
+    uv: jnp.ndarray           # (..., 2)
+    tangent: jnp.ndarray      # (..., 3)
+    from_inside: jnp.ndarray  # (...,) bool
+    dst: jnp.ndarray          # (...,)
+    tri: jnp.ndarray          # (...,) int32
+    mat_id: jnp.ndarray       # (...,) int32
+
+
+def _mt_block(o, d, v0, e1, e2):
+    """Möller-Trumbore: rays (C,3) x triangles (B,3) -> t,u,v,(det ok) (C,B)."""
+    p = jnp.cross(d[:, None, :], e2[None, :, :])
+    det = jnp.sum(e1[None, :, :] * p, axis=-1)
+    inv = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    tv = o[:, None, :] - v0[None, :, :]
+    u = jnp.sum(tv * p, axis=-1) * inv
+    q = jnp.cross(tv, e1[None, :, :])
+    v = jnp.sum(d[:, None, :] * q, axis=-1) * inv
+    t = jnp.sum(e2[None, :, :] * q, axis=-1) * inv
+    ok = (jnp.abs(det) > _DET_EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return t, u, v, ok
+
+
+def _pad_tris(scene, block: int):
+    n = scene.tri_v0.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    big = jnp.float32(1e30)
+
+    def padv(x):
+        return jnp.concatenate(
+            [x, jnp.full((pad, 3), big, x.dtype)], axis=0) if pad else x
+
+    v0 = padv(scene.tri_v0)
+    # zero-extent edges on padding => det == 0 => never hits
+    e1 = jnp.concatenate([scene.tri_e1, jnp.zeros((pad, 3), jnp.float32)]) \
+        if pad else scene.tri_e1
+    e2 = jnp.concatenate([scene.tri_e2, jnp.zeros((pad, 3), jnp.float32)]) \
+        if pad else scene.tri_e2
+    return v0.reshape(nb, block, 3), e1.reshape(nb, block, 3), \
+        e2.reshape(nb, block, 3)
+
+
+def _closest_chunk(o, d, tnear, tfar, v0b, e1b, e2b):
+    """Closest hit for one ray chunk, scanning triangle blocks."""
+    c = o.shape[0]
+    block = v0b.shape[1]
+    init = (jnp.full((c,), _INF), jnp.zeros((c,)), jnp.zeros((c,)),
+            jnp.full((c,), -1, jnp.int32))
+
+    def body(carry, blk):
+        bt, bu, bv, btri = carry
+        v0, e1, e2, base = blk
+        t, u, v, ok = _mt_block(o, d, v0, e1, e2)
+        ok &= (t >= tnear[:, None]) & (t <= tfar[:, None])
+        tt = jnp.where(ok, t, _INF)
+        j = jnp.argmin(tt, axis=1)
+        rows = jnp.arange(c)
+        mt, mu, mv = tt[rows, j], u[rows, j], v[rows, j]
+        better = mt < bt
+        return (jnp.where(better, mt, bt), jnp.where(better, mu, bu),
+                jnp.where(better, mv, bv),
+                jnp.where(better, base + j.astype(jnp.int32), btri)), None
+
+    nb = v0b.shape[0]
+    bases = jnp.arange(nb, dtype=jnp.int32) * block
+    (bt, bu, bv, btri), _ = jax.lax.scan(body, init, (v0b, e1b, e2b, bases))
+    return bt, bu, bv, btri
+
+
+def _any_chunk(o, d, tnear, tfar, v0b, e1b, e2b):
+    c = o.shape[0]
+
+    def body(carry, blk):
+        v0, e1, e2 = blk
+        t, _u, _v, ok = _mt_block(o, d, v0, e1, e2)
+        ok &= (t >= tnear[:, None]) & (t <= tfar[:, None])
+        return carry | jnp.any(ok, axis=1), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((c,), bool), (v0b, e1b, e2b))
+    return out
+
+
+def _run_chunked(fn, o, d, tnear, tfar, chunk):
+    """Flatten rays, pad to a chunk multiple, lax.map the chunk kernel."""
+    shape = o.shape[:-1]
+    of = o.reshape(-1, 3)
+    df = d.reshape(-1, 3)
+    r = of.shape[0]
+    tn = jnp.broadcast_to(jnp.asarray(tnear, jnp.float32), shape).reshape(-1)
+    tf = jnp.broadcast_to(jnp.asarray(tfar, jnp.float32), shape).reshape(-1)
+    if r <= chunk:
+        out = fn(of, df, tn, tf)
+    else:
+        nc = -(-r // chunk)
+        pad = nc * chunk - r
+
+        def padr(x, fill=0.0):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                           constant_values=fill)
+
+        xs = (padr(of).reshape(nc, chunk, 3), padr(df).reshape(nc, chunk, 3),
+              padr(tn).reshape(nc, chunk), padr(tf, -1.0).reshape(nc, chunk))
+        out = jax.lax.map(lambda a: fn(*a), xs)
+        out = jax.tree.map(lambda x: x.reshape((nc * chunk,) + x.shape[2:])[:r],
+                           out)
+    return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), out)
+
+
+def intersect_closest(scene, o, d, tnear, tfar,
+                      cfg: IntersectorConfig = IntersectorConfig()) -> Hit:
+    """Closest-hit query (reference Intersection::getClosestIntersection)."""
+    v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
+    fn = partial(_closest_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
+    bt, bu, bv, btri = _run_chunked(fn, o, d, tnear, tfar, cfg.ray_chunk)
+    hit = btri >= 0
+    return Hit(t=jnp.where(hit, bt, 0.0), u=bu, v=bv, tri=btri, hit=hit)
+
+
+def intersect_any(scene, o, d, tnear, tfar,
+                  cfg: IntersectorConfig = IntersectorConfig()) -> jnp.ndarray:
+    """Any-hit (shadow) query (reference rtcOccluded1 path)."""
+    v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
+    fn = partial(_any_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
+    return _run_chunked(fn, o, d, tnear, tfar, cfg.ray_chunk)
+
+
+def test_occlusion(scene, from_p, to_p, params,
+                   cfg: IntersectorConfig = IntersectorConfig()) -> jnp.ndarray:
+    """Shadow test between two points, with the reference's epsilon policy:
+    tnear = tnear_offset, tfar = dist - tfar_offset
+    (Intersection::testOcclusion, pg/Intersection.h:42-60).
+    Returns True where occluded."""
+    seg = to_p - from_p
+    dist = mathx.length(seg)
+    direction = mathx.normalize(seg)
+    return intersect_any(scene, from_p, direction,
+                         jnp.full(dist.shape, params.tnear_offset),
+                         dist - params.tfar_offset, cfg)
+
+
+def hit_attributes(scene, o, d, hit: Hit) -> HitInfo:
+    """Interpolate vertex attributes at hits and build the HitInfo payload
+    (reference Intersection::getGeometryAttributes + intersectEmbree,
+    pg/Intersection.h:8-113): barycentric interpolation, normal
+    normalization, and backface flip with from_inside tagging."""
+    tri = jnp.maximum(hit.tri, 0)
+    w = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)  # (..., 3)
+    n = jnp.sum(scene.vtx_normal[tri] * w[..., None], axis=-2)
+    n = mathx.normalize(n)
+    facing = mathx.dot(-d, n)
+    from_inside = (facing <= 0.0) & hit.hit
+    n = jnp.where(from_inside[..., None], -n, n)
+    uv = jnp.sum(scene.vtx_uv[tri] * w[..., None], axis=-2)
+    tangent = jnp.sum(scene.vtx_tangent[tri] * w[..., None], axis=-2)
+    point = o + d * hit.t[..., None]
+    mat_id = jnp.where(hit.hit, scene.tri_mat[tri], 0)
+    return HitInfo(did_hit=hit.hit, point=point, normal=n, uv=uv,
+                   tangent=tangent, from_inside=from_inside, dst=hit.t,
+                   tri=hit.tri, mat_id=mat_id)

@@ -1,0 +1,130 @@
+"""Progressive renderer: the host-side frame orchestrator.
+
+Replaces the reference's SimpleGuiDX11 producer loop
+(pg/simpleguidx11.cpp:223-334): per frame it renders 1 spp with the
+selected integrator, lerps into the HDR accumulator with weight 1/(n+1),
+and derives the display image (optional ACES tonemap + sRGB compress) and
+image statistics. All per-frame device work is one jitted call; the class
+only holds state pytrees (no globals, unlike the reference's statics).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_restir import mathx, metrics, rng
+from tpu_restir.config import RenderConfig
+from tpu_restir.io.export import export_image
+from tpu_restir.mathx.color import aces, srgb_compress
+from tpu_restir.render import camera as cam_mod
+from tpu_restir.render.integrators import render_naive, render_nee
+
+
+def _render_frame(scene, cam, cfg: RenderConfig, key):
+    if cfg.integrator == "naive":
+        return render_naive(scene, cam, cfg, key)
+    if cfg.integrator == "nee":
+        return render_nee(scene, cam, cfg, key)
+    if cfg.integrator == "restir":
+        from tpu_restir.render.integrators.restir import pipeline
+        raise RuntimeError(
+            "use Renderer which threads ReSTIR state between frames")
+    raise ValueError(f"unknown integrator {cfg.integrator!r}")
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _frame_simple(scene, cam, cfg: RenderConfig, key):
+    """One 1-spp frame for the stateless integrators (naive / NEE)."""
+    return _render_frame(scene, cam, cfg, key)
+
+
+def display_image(accumulator, params):
+    """HDR accumulator -> display colors (pg/simpleguidx11.cpp:262-295):
+    optional ACES, then sRGB compress."""
+    img = accumulator
+    if params.tonemap:
+        img = aces(img)
+    if params.gamma_correct:
+        img = srgb_compress(img)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+class Renderer:
+    """Headless progressive renderer with explicit, checkpointable state."""
+
+    def __init__(self, scene, cfg: RenderConfig):
+        self.scene = scene
+        self.cfg = cfg
+        self.cam = cam_mod.make_camera(cfg.camera)
+        h, w = cfg.camera.height, cfg.camera.width
+        self.accumulator = jnp.zeros((h, w, 3))
+        self.acc_ctr = 0
+        self.frame_ctr = 0
+        self.render_time = 0.0
+        self.timers = metrics.PassTimers()
+        self._restir_state = None
+        if cfg.integrator == "restir":
+            from tpu_restir.render.integrators.restir.pipeline import (
+                init_restir_state, restir_step)
+            self._restir_state = init_restir_state(h, w)
+            self._restir_step = jax.jit(restir_step,
+                                        static_argnames=("cfg",))
+
+    def set_camera(self, view_from=None, view_at=None):
+        """Camera move (one-frame-latency orbit analog); accumulation is
+        NOT reset automatically, matching the reference."""
+        self.cam = cam_mod.make_camera(self.cfg.camera, view_from, view_at)
+
+    def reset_accumulation(self):
+        self.accumulator = jnp.zeros_like(self.accumulator)
+        self.acc_ctr = 0
+        self.render_time = 0.0
+
+    def step(self) -> jnp.ndarray:
+        """Render one frame and fold it into the accumulator."""
+        t0 = time.perf_counter()
+        key = rng.frame_key(self.cfg.seed, self.frame_ctr)
+        if self.cfg.integrator == "restir":
+            frame, self._restir_state = self._restir_step(
+                self.scene, self.cam, self.cfg, key, self._restir_state,
+                jnp.asarray(self.frame_ctr))
+        else:
+            frame = _frame_simple(self.scene, self.cam, self.cfg, key)
+        # progressive lerp 1/(n+1) (pg/simpleguidx11.cpp:246-253)
+        self.accumulator = self.accumulator + (
+            frame - self.accumulator) / (self.acc_ctr + 1.0)
+        jax.block_until_ready(self.accumulator)
+        self.render_time += time.perf_counter() - t0
+        self.acc_ctr += 1
+        self.frame_ctr += 1
+        if not self.cfg.accumulate or self.acc_ctr > self.cfg.max_acc_count:
+            self.acc_ctr = 0
+        return frame
+
+    def run(self, n_frames: int):
+        for _ in range(n_frames):
+            self.step()
+        return self.accumulator
+
+    def display(self) -> np.ndarray:
+        return np.asarray(display_image(self.accumulator, self.cfg.params))
+
+    def stats(self):
+        m, v = metrics.image_mean_variance(self.accumulator)
+        return float(m), float(v)
+
+    def export(self, path: str):
+        mean, var = self.stats()
+        export_image(
+            path, self.display(), iterations=self.acc_ctr,
+            restir=self.cfg.restir, render_time_s=self.render_time,
+            image_mean=mean, image_variance=var,
+            cam_pos=np.asarray(self.cam.pos),
+            cam_view_at=np.asarray(self.cam.view_at),
+            fov_deg=self.cfg.camera.fov_y_deg)

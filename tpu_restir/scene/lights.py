@@ -1,0 +1,89 @@
+"""Emissive-triangle light sampling: area-weighted CDF.
+
+TPU-native equivalent of the reference's TriangleCDF
+(pg/TriangleCDF.cpp:8-57): the CDF is a device array searched with
+vectorized jnp.searchsorted instead of std::lower_bound per sample, so a
+whole frame's light picks happen in one gather. The key identity is kept:
+pdf of a sampled light point in area measure is
+(area_i/total) * (1/area_i) = 1/total_area (pg/TriangleCDF.cpp:46-50).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tpu_restir import mathx
+from tpu_restir.render import sampling
+
+
+class EmissiveCDF(struct.PyTreeNode):
+    tri_idx: jnp.ndarray     # (L,) int32 — scene triangle indices
+    cdf: jnp.ndarray         # (L,) float32 — normalized cumulative areas
+    areas: jnp.ndarray       # (L,) float32
+    total_area: jnp.ndarray  # () float32
+
+    @property
+    def count(self) -> int:
+        return self.tri_idx.shape[0]
+
+    @property
+    def is_valid(self) -> bool:
+        """Static validity — gates all NEE (reference TriangleCDF::isValid)."""
+        return self.count > 0
+
+
+def build_emissive_cdf(tri_areas: np.ndarray, emissive_mask: np.ndarray) -> EmissiveCDF:
+    idx = np.nonzero(emissive_mask)[0].astype(np.int32)
+    areas = tri_areas[idx].astype(np.float32)
+    total = float(areas.sum())
+    if len(idx) and total > 0:
+        cdf = np.cumsum(areas / total).astype(np.float32)
+        cdf[-1] = 1.0
+    else:
+        cdf = np.zeros((len(idx),), np.float32)
+    return EmissiveCDF(
+        tri_idx=jnp.asarray(idx), cdf=jnp.asarray(cdf),
+        areas=jnp.asarray(areas), total_area=jnp.asarray(total, jnp.float32))
+
+
+def pick_triangle(key: jax.Array, lights: EmissiveCDF, shape):
+    """Sample light-triangle indices ~ area (reference TriangleCDF::getTriangle).
+
+    Returns (scene_tri_idx, prob) with prob = area_i / total_area.
+    """
+    u = jax.random.uniform(key, shape)
+    # std::lower_bound(first ge u) == searchsorted side='left'
+    k = jnp.searchsorted(lights.cdf, u, side="left")
+    k = jnp.clip(k, 0, lights.count - 1)
+    prob = lights.areas[k] / lights.total_area
+    return lights.tri_idx[k], prob
+
+
+def sample_light_point(key: jax.Array, scene, shape):
+    """Pick an emissive triangle + a uniform point on it.
+
+    Returns dict with point, normal (interpolated, normalized), L_i
+    (material emission), pdf_area (== 1/total_area), and the scene
+    triangle index. Mirrors areaSampleLight's light-side math
+    (pg/ReSTIRIntegrator.cpp:89-122).
+    """
+    k_tri, k_bar = jax.random.split(key)
+    tri, _prob = pick_triangle(k_tri, scene.lights, shape)
+    w = sampling.sample_triangle_barycentrics(k_bar, shape)  # (..., 3)
+    v = scene.tri_v[tri]          # (..., 3 verts, 3)
+    n = scene.vtx_normal[tri]     # (..., 3 verts, 3)
+    point = jnp.sum(v * w[..., :, None], axis=-2)
+    normal = mathx.normalize(jnp.sum(n * w[..., :, None], axis=-2))
+    l_i = scene.materials.emission[scene.tri_mat[tri]]
+    pdf_area = jnp.broadcast_to(1.0 / scene.lights.total_area, shape)
+    return dict(point=point, normal=normal, l_i=l_i, pdf_area=pdf_area,
+                tri=tri)
+
+
+def pdf_for_any_light_point(scene, shape):
+    """Area pdf of sampling *any* point on the emissive set: 1/total_area
+    (reference TriangleCDF::getPDFForTriangle, pg/TriangleCDF.cpp:46-50)."""
+    return jnp.broadcast_to(1.0 / scene.lights.total_area, shape)

@@ -1,0 +1,123 @@
+"""Material table: SoA arrays indexed by material id.
+
+The reference models materials as a C++ class hierarchy dispatched by
+virtual calls (pg/material.h:31-149 and subclasses). On TPU, dynamic
+dispatch becomes data: one int8-style `mat_type` column plus dense
+parameter columns, consumed branchlessly by tpu_restir.render.brdf via
+masked selects.
+
+Type ids match the reference's enum AND its ASSIMP clearcoat-as-type
+loader convention (pg/enums.h:3-12, pg/ModelLoader.cpp:52-72):
+0=NORMAL(base), 1=LAMBERT, 2=PHONG, 3=MIRROR, 4=DIELECTRIC, 5=TRANSPARENT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class MatType:
+    NORMAL = 0
+    LAMBERT = 1
+    PHONG = 2
+    MIRROR = 3
+    DIELECTRIC = 4
+    TRANSPARENT = 5
+    UNSUPPORTED = 6
+
+
+class VertexType:
+    """Path vertex tags driving NEE double-count avoidance
+    (reference pg/enums.h:14-21, pg/NEEPathIntegrator.cpp:93-97)."""
+
+    INVALID = -1
+    CAMERA = 0
+    DIFFUSE = 1
+    SPECULAR = 2
+    MIRROR = 3
+    REFRACTIVE = 4
+
+
+@dataclasses.dataclass
+class MaterialSpec:
+    """Host-side material record (builder input)."""
+
+    name: str = "default"
+    mat_type: int = MatType.LAMBERT
+    ambient: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    diffuse: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    specular: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    emission: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    shininess: float = 1.0
+    ior: float = 1.5
+    reflectivity: float = 1.0
+    attenuation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # texture slots (indices into the scene texture stack; -1 = none);
+    # same 4 slots as the reference (pg/material.h kDiffuseMapSlot..):
+    tex_diffuse: int = -1
+    tex_specular: int = -1
+    tex_shininess: int = -1  # stores roughness; s = 2/r^2 - 2 (pg/material.cpp:123-133)
+    tex_normal: int = -1
+
+
+class MaterialTable(struct.PyTreeNode):
+    diffuse: jnp.ndarray       # (M, 3)
+    specular: jnp.ndarray      # (M, 3)
+    emission: jnp.ndarray      # (M, 3)
+    ambient: jnp.ndarray       # (M, 3)
+    attenuation: jnp.ndarray   # (M, 3)
+    shininess: jnp.ndarray     # (M,)
+    ior: jnp.ndarray           # (M,)
+    reflectivity: jnp.ndarray  # (M,)
+    mat_type: jnp.ndarray      # (M,) int32
+    tex_index: jnp.ndarray     # (M, 4) int32 — diffuse/specular/shininess/normal
+
+    @property
+    def count(self) -> int:
+        return self.diffuse.shape[0]
+
+    def is_emissive(self) -> jnp.ndarray:
+        """emission > 0 on any channel (reference Material::isEmitter,
+        pg/material.cpp:92-94)."""
+        return jnp.any(self.emission > 0.0, axis=-1)
+
+
+def build_material_table(specs: List[MaterialSpec]) -> MaterialTable:
+    def f3(field):
+        return jnp.asarray(np.array([getattr(s, field) for s in specs],
+                                    dtype=np.float32))
+
+    def f1(field):
+        return jnp.asarray(np.array([getattr(s, field) for s in specs],
+                                    dtype=np.float32))
+
+    tex = np.array([[s.tex_diffuse, s.tex_specular, s.tex_shininess,
+                     s.tex_normal] for s in specs], dtype=np.int32)
+    return MaterialTable(
+        diffuse=f3("diffuse"), specular=f3("specular"),
+        emission=f3("emission"), ambient=f3("ambient"),
+        attenuation=f3("attenuation"),
+        shininess=f1("shininess"), ior=f1("ior"),
+        reflectivity=f1("reflectivity"),
+        mat_type=jnp.asarray(np.array([s.mat_type for s in specs],
+                                      dtype=np.int32)),
+        tex_index=jnp.asarray(tex),
+    )
+
+
+def gather_materials(table: MaterialTable, mat_id: jnp.ndarray):
+    """Gather per-ray material columns for a flat array of material ids."""
+    i = jnp.clip(mat_id, 0, table.count - 1)
+    return MaterialTable(
+        diffuse=table.diffuse[i], specular=table.specular[i],
+        emission=table.emission[i], ambient=table.ambient[i],
+        attenuation=table.attenuation[i],
+        shininess=table.shininess[i], ior=table.ior[i],
+        reflectivity=table.reflectivity[i],
+        mat_type=table.mat_type[i], tex_index=table.tex_index[i],
+    )

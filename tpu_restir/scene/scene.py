@@ -1,0 +1,98 @@
+"""SceneArrays: the whole scene as one pytree of device arrays.
+
+Replaces the reference's Scene/Surface/Triangle/Vertex object graph +
+Embree RTCScene (pg/Scene.cpp, pg/surface.cpp, pg/triangle.cpp) with flat
+SoA arrays resident in HBM: triangle vertices, per-vertex attributes,
+per-triangle material ids, the emissive CDF, optional texture stack and
+environment map. Geometry is replicated across devices; pixels shard.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tpu_restir.scene.lights import EmissiveCDF, build_emissive_cdf
+from tpu_restir.scene.materials import (MaterialSpec, MaterialTable,
+                                        build_material_table)
+
+
+class SceneArrays(struct.PyTreeNode):
+    # geometry
+    tri_v: jnp.ndarray        # (N, 3, 3) vertex positions
+    tri_v0: jnp.ndarray       # (N, 3)   == tri_v[:, 0] (intersection fast path)
+    tri_e1: jnp.ndarray       # (N, 3)   v1 - v0
+    tri_e2: jnp.ndarray       # (N, 3)   v2 - v0
+    tri_area: jnp.ndarray     # (N,)     0.5 * |e1 x e2| (pg/triangle.cpp:4-38)
+    # per-vertex attributes (interpolated at hits like rtcInterpolate0)
+    vtx_normal: jnp.ndarray   # (N, 3, 3)
+    vtx_uv: jnp.ndarray       # (N, 3, 2)
+    vtx_tangent: jnp.ndarray  # (N, 3, 3)
+    # per-triangle material
+    tri_mat: jnp.ndarray      # (N,) int32
+    materials: MaterialTable
+    lights: EmissiveCDF
+    # optional resources
+    textures: Optional[jnp.ndarray] = None  # (T, TH, TW, 3) float32 stack
+    envmap: Optional[jnp.ndarray] = None    # (He, We, 3) float32 equirect
+
+    @property
+    def num_tris(self) -> int:
+        return self.tri_v.shape[0]
+
+    def tri_emissive_mask(self) -> jnp.ndarray:
+        return self.materials.is_emissive()[self.tri_mat]
+
+
+def build_scene(
+    vertices: np.ndarray,          # (N, 3, 3)
+    material_ids: np.ndarray,      # (N,)
+    specs: List[MaterialSpec],
+    vertex_normals: Optional[np.ndarray] = None,   # (N, 3, 3)
+    vertex_uvs: Optional[np.ndarray] = None,       # (N, 3, 2)
+    vertex_tangents: Optional[np.ndarray] = None,  # (N, 3, 3)
+    textures: Optional[np.ndarray] = None,
+    envmap: Optional[np.ndarray] = None,
+) -> SceneArrays:
+    v = np.asarray(vertices, np.float32)
+    n_tris = v.shape[0]
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+    if vertex_normals is None:
+        # face normals, replicated to vertices (right-handed winding)
+        fn = np.cross(e1, e2)
+        fn = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+        vertex_normals = np.repeat(fn[:, None, :], 3, axis=1)
+    if vertex_uvs is None:
+        vertex_uvs = np.zeros((n_tris, 3, 2), np.float32)
+    if vertex_tangents is None:
+        t = e1 / np.maximum(np.linalg.norm(e1, axis=-1, keepdims=True), 1e-20)
+        vertex_tangents = np.repeat(t[:, None, :], 3, axis=1)
+
+    mat_ids = np.asarray(material_ids, np.int32)
+    table = build_material_table(specs)
+    emissive_mat = np.array(
+        [any(c > 0 for c in s.emission) for s in specs], bool)
+    lights = build_emissive_cdf(areas.astype(np.float32),
+                                emissive_mat[mat_ids])
+
+    return SceneArrays(
+        tri_v=jnp.asarray(v),
+        tri_v0=jnp.asarray(v[:, 0]),
+        tri_e1=jnp.asarray(e1.astype(np.float32)),
+        tri_e2=jnp.asarray(e2.astype(np.float32)),
+        tri_area=jnp.asarray(areas.astype(np.float32)),
+        vtx_normal=jnp.asarray(np.asarray(vertex_normals, np.float32)),
+        vtx_uv=jnp.asarray(np.asarray(vertex_uvs, np.float32)),
+        vtx_tangent=jnp.asarray(np.asarray(vertex_tangents, np.float32)),
+        tri_mat=jnp.asarray(mat_ids),
+        materials=table,
+        lights=lights,
+        textures=jnp.asarray(textures) if textures is not None else None,
+        envmap=jnp.asarray(envmap) if envmap is not None else None,
+    )
