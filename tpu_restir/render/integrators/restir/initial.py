@@ -1,0 +1,152 @@
+"""PASS 2: initial RIS candidate generation.
+
+Reference: initialRenderPass + areaSampleLight + brdfSampleLight
+(pg/ReSTIRIntegrator.cpp:89-177, 236-298). M_Area light-CDF candidates
+and M_Brdf BSDF-sampled candidates stream into a per-pixel reservoir with
+the per-candidate weight
+  w = misWeight * p_hat * W_candidate        (both families in use)
+  w = (1/M_family) * p_hat * W_candidate     (single family)
+where misWeight is the area/brdf balance heuristic in area measure
+(m_area/m_brdf, pg/ReSTIRIntegrator.h:62-74). Candidates are generated
+one family-index at a time so peak memory stays at one image per field.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_restir import mathx, rng
+from tpu_restir.render import brdf, intersect
+from tpu_restir.render.integrators.restir import reservoir as rsv
+from tpu_restir.render.integrators.restir.gbuffer import GBuffer
+from tpu_restir.render.integrators.restir.phat import evaluate_p_hat
+from tpu_restir.scene import lights as lights_mod
+from tpu_restir.scene.materials import gather_materials
+
+
+def _mis_m_area(pdf_area, pdf_brdf, m_area, m_brdf):
+    """m_area = p_A / (M_A p_A + M_B p_B), 0 when both pdfs vanish
+    (pg/ReSTIRIntegrator.h:62-67)."""
+    denom = m_area * pdf_area + m_brdf * pdf_brdf
+    return jnp.where(denom > 0.0, pdf_area / jnp.maximum(denom, 1e-30), 0.0)
+
+
+def _mis_m_brdf(pdf_brdf, pdf_area, m_area, m_brdf):
+    denom = m_area * pdf_area + m_brdf * pdf_brdf
+    return jnp.where(denom > 0.0, pdf_brdf / jnp.maximum(denom, 1e-30), 0.0)
+
+
+def _area_candidate(key, scene, gb: GBuffer, cfg):
+    """One area-sampled candidate per pixel (areaSampleLight,
+    pg/ReSTIRIntegrator.cpp:89-124). Returns (LightSample, W, misWeight)."""
+    r = cfg.restir
+    shape = gb.depth.shape
+    ls = lights_mod.sample_light_point(key, scene, shape)
+    pdf_area = ls["pdf_area"]
+
+    seg = ls["point"] - gb.pos
+    r_sqr = mathx.dot(seg, seg)
+    wi = mathx.normalize(seg)
+    cos_y = jnp.maximum(mathx.dot(-wi, ls["normal"]), 0.0)
+    area_factor = jnp.where(r_sqr > 0.0,
+                            cos_y / jnp.maximum(r_sqr, 1e-20), 0.0)
+    pdf_if_brdf_area = brdf.gbuf_eval_pdf(gb, wi) * area_factor
+
+    cand = rsv.LightSample(point=ls["point"], normal=ls["normal"],
+                           l_i=ls["l_i"],
+                           valid=jnp.any(ls["l_i"] > 0.0, axis=-1))
+    w_c = 1.0 / jnp.maximum(pdf_area, 1e-30)
+    mis = _mis_m_area(pdf_area, pdf_if_brdf_area, r.m_area, r.m_brdf)
+    return cand, w_c, mis
+
+
+def _brdf_candidate(key, scene, gb: GBuffer, cfg):
+    """One BSDF-sampled candidate per pixel (brdfSampleLight,
+    pg/ReSTIRIntegrator.cpp:126-177): sample the G-buffer BRDF, trace, and
+    accept only emissive hits."""
+    p = cfg.params
+    r = cfg.restir
+    shape = gb.depth.shape
+
+    s = brdf.gbuf_sample_brdf(key, gb)
+    o2 = gb.pos + p.normal_offset * gb.normal
+    hit = intersect.intersect_closest(scene, o2, s.omega_i, p.tnear_offset,
+                                      jnp.inf, cfg.intersector)
+    hi = intersect.hit_attributes(scene, o2, s.omega_i, hit)
+    m2 = gather_materials(scene.materials, hi.mat_id)
+    emissive = hi.did_hit & m2.is_emissive()
+
+    seg = hi.point - gb.pos
+    r_sqr = mathx.dot(seg, seg)
+    wi = mathx.normalize(seg)
+    cos_y = jnp.maximum(mathx.dot(-wi, hi.normal), 0.0)
+    area_factor = jnp.where(r_sqr > 0.0,
+                            cos_y / jnp.maximum(r_sqr, 1e-20), 0.0)
+    pdf_brdf_area = s.pdf * area_factor
+    pdf_area = lights_mod.pdf_for_any_light_point(scene, shape)
+
+    cand = rsv.LightSample(
+        point=jnp.where(emissive[..., None], hi.point, 0.0),
+        normal=jnp.where(emissive[..., None], hi.normal, 0.0),
+        l_i=jnp.where(emissive[..., None], m2.emission, 0.0),
+        valid=emissive)
+    w_c = jnp.where(emissive & (pdf_brdf_area > 0.0),
+                    1.0 / jnp.maximum(pdf_brdf_area, 1e-30), 0.0)
+    mis = jnp.where(emissive,
+                    _mis_m_brdf(pdf_brdf_area, pdf_area, r.m_area, r.m_brdf),
+                    0.0)
+    return cand, w_c, mis
+
+
+def initial_pass(key, scene, gb: GBuffer, cfg) -> rsv.Reservoir:
+    r = cfg.restir
+    p = cfg.params
+    shape = gb.depth.shape
+    res = rsv.empty_reservoir(shape)
+
+    if not scene.lights.is_valid:
+        return res
+
+    test_vis = not r.do_visibility_pass
+    k_area = rng.pass_key(key, rng.PASS_INITIAL_AREA)
+    k_brdf = rng.pass_key(key, rng.PASS_INITIAL_BRDF)
+    k_wrs = rng.pass_key(key, rng.PASS_INITIAL_WRS)
+    one = jnp.ones(shape)
+
+    for i in range(r.m_area):
+        cand, w_c, mis = _area_candidate(rng.draw_key(k_area, i), scene, gb,
+                                         cfg)
+        p_hat = evaluate_p_hat(cand, scene, gb, test_vis, p, cfg.intersector)
+        weight_term = mis if r.m_brdf > 0 else 1.0 / r.m_area
+        w = weight_term * p_hat * w_c
+        res, _ = rsv.add_sample(res, rng.draw_key(k_wrs, i), cand, w, one)
+
+    for i in range(r.m_brdf):
+        cand, w_c, mis = _brdf_candidate(rng.draw_key(k_brdf, i), scene, gb,
+                                         cfg)
+        p_hat = evaluate_p_hat(cand, scene, gb, test_vis, p, cfg.intersector)
+        weight_term = mis if r.m_area > 0 else 1.0 / r.m_brdf
+        w = weight_term * p_hat * w_c
+        res, _ = rsv.add_sample(res, rng.draw_key(k_wrs, 1000 + i), cand, w,
+                                one)
+
+    # finalize unbiased contribution weight W = w_sum / p_hat(best)
+    # (pg/ReSTIRIntegrator.cpp:289-293)
+    p_hat_best = evaluate_p_hat(res.sample, scene, gb, test_vis, p,
+                                cfg.intersector)
+    w_final = jnp.where(p_hat_best > 0.0,
+                        res.w_sum / jnp.maximum(p_hat_best, 1e-30), 0.0)
+    res = res.replace(w=w_final)
+    res = rsv.cap_confidence(res, r.confidence_cap)
+
+    # emissive pixels get an empty reservoir (pg/ReSTIRIntegrator.cpp:241-244)
+    return rsv.select(gb.is_emissive(), rsv.empty_reservoir(shape), res)
+
+
+def visibility_pass(scene, gb: GBuffer, res: rsv.Reservoir, cfg) -> rsv.Reservoir:
+    """PASS 3 (optional): shadow-test the surviving sample; occluded -> W=0
+    (pg/ReSTIRIntegrator.cpp:302-312)."""
+    occ = intersect.test_occlusion(scene, gb.pos, res.sample.point,
+                                   cfg.params, cfg.intersector)
+    return res.replace(w=jnp.where(occ, 0.0, res.w))
