@@ -1,0 +1,93 @@
+"""Benchmark: Mrays/s for the full ReSTIR pipeline at 1080p on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference CPU renderer sustains ~2 Mrays/s
+(BASELINE.md "derived throughput": 1280x720 MIS 1spp at 0.946 s/frame,
+>=2 rays per pixel sample). Ray counting mirrors the reference's
+rtcIntersect1/rtcOccluded1 call sites: every closest-hit or occlusion
+query counts as one ray.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tpu_restir import rng
+from tpu_restir.config import (CameraConfig, IntersectorConfig, RenderConfig,
+                               RenderParams, RestirParams)
+from tpu_restir.render import camera as cam_mod
+from tpu_restir.render.integrators.restir.pipeline import (
+    init_restir_state, restir_step)
+from tpu_restir.scene import cornell_box
+
+WIDTH, HEIGHT = 1920, 1080
+N_FRAMES = 8
+
+
+def rays_per_pixel(cfg: RenderConfig) -> int:
+    """Closest-hit + occlusion queries per pixel per frame for this config
+    (matches the reference's per-pass trace counts, SURVEY.md §3.2)."""
+    r = cfg.restir
+    test_vis = 0 if r.do_visibility_pass else 1
+    closest = 1 + r.m_brdf                      # G-buffer + BRDF candidates
+    occl = (r.m_area + r.m_brdf + 1) * test_vis  # initial p_hats + finalize
+    occl += 1 if r.do_visibility_pass else 0
+    if r.do_temporal_reuse:
+        occl += 5                                # 4 MIS p_hats + finalize
+    if r.do_spatial_reuse:
+        k = r.spatial_neighbor_count
+        if r.spatial_mis == "balance":
+            per_pass = (k + 1) ** 2 + 1
+        elif r.spatial_mis == "pairwise":
+            per_pass = 3 * k + 2
+        else:
+            per_pass = (k + 1) + 1
+        occl += per_pass * r.spatial_pass_count
+    occl += 1                                    # final shading visibility
+    return closest + occl
+
+
+def main():
+    cfg = RenderConfig(
+        camera=CameraConfig(width=WIDTH, height=HEIGHT, fov_y_deg=45.0,
+                            view_from=(0.0, -3.9, 1.0),
+                            view_at=(0.0, 0.0, 1.0),
+                            pixel_sampler="random"),
+        params=RenderParams(use_skybox=False),
+        restir=RestirParams(m_area=1, m_brdf=1, do_temporal_reuse=True,
+                            do_spatial_reuse=True, spatial_neighbor_count=5,
+                            spatial_mis="pairwise"),
+        intersector=IntersectorConfig(ray_chunk=1 << 18, tri_block=2048),
+        integrator="restir")
+    scene = cornell_box()
+    cam = cam_mod.make_camera(cfg.camera)
+    state = init_restir_state(HEIGHT, WIDTH)
+    step = jax.jit(restir_step, static_argnames=("cfg",))
+
+    # warmup / compile
+    frame, state = step(scene, cam, cfg, rng.make_frame_seed(0, 0), state,
+                        jnp.asarray(0))
+    jax.block_until_ready(frame)
+
+    t0 = time.perf_counter()
+    for f in range(1, N_FRAMES + 1):
+        frame, state = step(scene, cam, cfg, rng.make_frame_seed(0, f),
+                            state, jnp.asarray(f))
+    jax.block_until_ready(frame)
+    dt = time.perf_counter() - t0
+
+    rays = rays_per_pixel(cfg) * WIDTH * HEIGHT * N_FRAMES
+    mrays = rays / dt / 1e6
+    baseline_mrays = 2.0  # reference CPU (BASELINE.md derived throughput)
+    print(json.dumps({
+        "metric": "restir_1080p_mrays_per_s",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline_mrays, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Differentiable-rendering oracles (BASELINE.json config 4 / SURVEY.md §4
+item 4): autodiff gradients of the rendered image w.r.t. material
+parameters must match central finite differences computed with common
+random numbers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_restir.config import (CameraConfig, RenderConfig, RenderParams,
+                               RestirParams)
+from tpu_restir.diff.params import apply_params, extract_params
+from tpu_restir.diff.render import loss_fn, render_with_params
+from tpu_restir.render import camera as cam_mod
+from tpu_restir.scene import cornell_box
+
+SIZE = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = cornell_box()
+    ccfg = CameraConfig(width=SIZE, height=SIZE, fov_y_deg=45.0,
+                        view_from=(0, -3.9, 1.0), view_at=(0, 0, 1.0),
+                        pixel_sampler="center")
+    cfg = RenderConfig(camera=ccfg, params=RenderParams(use_skybox=False),
+                       restir=RestirParams(m_area=4, m_brdf=0),
+                       integrator="restir")
+    cam = cam_mod.make_camera(ccfg)
+    return scene, cfg, cam
+
+
+def test_grad_matches_finite_differences(setup):
+    """d(loss)/d(albedo of the white material) via autodiff vs central FD
+    with identical seeds (plain RIS config — BASELINE.json config 1)."""
+    scene, cfg, cam = setup
+    seeds = (0, 1)
+    target = jnp.zeros((SIZE, SIZE, 3))
+    params = {"diffuse": extract_params(scene, ("diffuse",))["diffuse"]}
+
+    val, grads = jax.value_and_grad(loss_fn)(params, scene, cam, cfg, seeds,
+                                             target)
+    assert np.isfinite(float(val))
+    g = np.asarray(grads["diffuse"])
+    assert np.isfinite(g).all()
+
+    # central differences on a few (material, channel) entries
+    rng = np.random.default_rng(0)
+    checked = 0
+    for mat in [0, 1, 3]:  # white, red, light
+        for ch in range(3):
+            if abs(g[mat, ch]) < 1e-7:
+                continue
+            eps = 3e-3
+            for sign, store in [(+1, "hi"), (-1, "lo")]:
+                p = {"diffuse": params["diffuse"].at[mat, ch].add(sign * eps)}
+                v = float(loss_fn(p, scene, cam, cfg, seeds, target))
+                if sign > 0:
+                    hi = v
+                else:
+                    lo = v
+            fd = (hi - lo) / (2 * eps)
+            assert np.isclose(fd, g[mat, ch], rtol=0.08, atol=1e-5), \
+                (mat, ch, fd, g[mat, ch])
+            checked += 1
+    assert checked >= 3
+
+
+def test_emission_gradient_direction(setup):
+    """Brightening the light must increase the mean image; the gradient of
+    the mean w.r.t. emission must be positive."""
+    scene, cfg, cam = setup
+
+    def mean_img(params):
+        return jnp.mean(render_with_params(params, scene, cam, cfg, (0,)))
+
+    params = {"emission": extract_params(scene, ("emission",))["emission"]}
+    g = jax.grad(mean_img)(params)["emission"]
+    light_mat = 3
+    assert float(np.asarray(g)[light_mat].sum()) > 0.0
+    # non-emissive materials have zero emission gradient (their emission
+    # is never read by shading of this scene)
+    assert np.allclose(np.asarray(g)[0], 0.0, atol=1e-8)
+
+
+def test_optimize_recovers_albedo(setup):
+    """Inverse rendering: perturb the red wall's albedo and recover it by
+    gradient descent against the original render."""
+    from tpu_restir.diff.optimize import optimize_materials
+
+    scene, cfg, cam = setup
+    target = render_with_params(extract_params(scene, ("diffuse",)), scene,
+                                cam, cfg, (5, 6))
+    # start from a perturbed scene
+    wrong = extract_params(scene, ("diffuse",))["diffuse"]
+    wrong = wrong.at[1].set(jnp.array([0.3, 0.4, 0.5]))
+    scene_wrong = apply_params(scene, {"diffuse": wrong})
+
+    params, hist = optimize_materials(
+        scene_wrong, cam, cfg, target, fields=("diffuse",), n_steps=40,
+        lr=0.05, frames_per_step=1, seed0=5)
+    assert hist[-1] < hist[0] * 0.2, hist[::10]
+    got = np.asarray(params["diffuse"][1])
+    want = np.array([0.65, 0.05, 0.05])
+    assert np.allclose(got, want, atol=0.08), got

@@ -1,0 +1,153 @@
+"""Headless progressive renderer CLI.
+
+Replaces the reference's interactive ImGui loop with a config/flag-driven
+batch renderer (SURVEY.md §5.6): every knob the reference exposes in its
+GUI is a flag here; output is the same PNG + sidecar pair.
+
+Example:
+    python -m tpu_restir.cli --scene cornell --size 256x256 \
+        --integrator restir --temporal --spatial --spatial-mis pairwise \
+        --frames 64 --out out/cornell.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from tpu_restir.config import (CameraConfig, RenderConfig, RenderParams,
+                               RestirParams, SpatialMis)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("tpu_restir",
+                                description="TPU-native ReSTIR renderer")
+    p.add_argument("--scene", default="cornell",
+                   help="cornell | cornell-glossy | many-lights[:N] | path/to.obj")
+    p.add_argument("--size", default="256x256", help="WIDTHxHEIGHT")
+    p.add_argument("--fov", type=float, default=45.0)
+    p.add_argument("--view-from", default="0,-3.9,1.0")
+    p.add_argument("--view-at", default="0,0,1.0")
+    p.add_argument("--integrator", default="restir",
+                   choices=["naive", "nee", "restir"])
+    p.add_argument("--direct", default="mis",
+                   choices=["area", "brdf", "mis", "ris"],
+                   help="NEE direct-lighting strategy")
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--bounces", type=int, default=5)
+    p.add_argument("--pixel-sampler", default="random",
+                   choices=["center", "random", "stratified"])
+    p.add_argument("--m-area", type=int, default=1)
+    p.add_argument("--m-brdf", type=int, default=1)
+    p.add_argument("--visibility-pass", action="store_true")
+    p.add_argument("--temporal", action="store_true")
+    p.add_argument("--spatial", action="store_true")
+    p.add_argument("--spatial-passes", type=int, default=1)
+    p.add_argument("--neighbors", type=int, default=5)
+    p.add_argument("--radius", type=float, default=30.0)
+    p.add_argument("--spatial-mis", default=SpatialMis.CONSTANT,
+                   choices=list(SpatialMis.ALL))
+    p.add_argument("--reject-dissimilar", action="store_true")
+    p.add_argument("--confidence-cap", type=float, default=20.0)
+    p.add_argument("--no-tonemap", action="store_true")
+    p.add_argument("--no-gamma", action="store_true")
+    p.add_argument("--skybox", default=None, help="equirect HDR path")
+    p.add_argument("--bg", default="0.5,0.5,0.5")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard pixel rows over N devices")
+    p.add_argument("--denoise", action="store_true",
+                   help="joint-bilateral denoise of the display image")
+    p.add_argument("--out", default="out/render.png")
+    p.add_argument("--export-every", type=int, default=0,
+                   help="also export every N frames")
+    p.add_argument("--checkpoint", default=None,
+                   help="path to save/resume renderer state")
+    return p
+
+
+def _vec3(s):
+    x = [float(v) for v in s.split(",")]
+    assert len(x) == 3
+    return tuple(x)
+
+
+def load_scene(name: str):
+    from tpu_restir.scene import cornell_box, many_lights_scene
+
+    if name == "cornell":
+        return cornell_box()
+    if name == "cornell-glossy":
+        return cornell_box(glossy_box=True)
+    if name.startswith("many-lights"):
+        n = int(name.split(":")[1]) if ":" in name else 1000
+        return many_lights_scene(n)
+    from tpu_restir.scene.objloader import load_obj_scene
+
+    return load_obj_scene(name)
+
+
+def config_from_args(a) -> RenderConfig:
+    w, h = (int(v) for v in a.size.lower().split("x"))
+    return RenderConfig(
+        camera=CameraConfig(width=w, height=h, fov_y_deg=a.fov,
+                            view_from=_vec3(a.view_from),
+                            view_at=_vec3(a.view_at),
+                            pixel_sampler=a.pixel_sampler),
+        params=RenderParams(max_bounce_count=a.bounces,
+                            bg_color=_vec3(a.bg),
+                            use_skybox=a.skybox is not None,
+                            tonemap=not a.no_tonemap,
+                            gamma_correct=not a.no_gamma,
+                            denoise=a.denoise),
+        restir=RestirParams(m_area=a.m_area, m_brdf=a.m_brdf,
+                            do_visibility_pass=a.visibility_pass,
+                            do_temporal_reuse=a.temporal,
+                            do_spatial_reuse=a.spatial,
+                            spatial_pass_count=a.spatial_passes,
+                            spatial_neighbor_count=a.neighbors,
+                            spatial_reuse_radius=a.radius,
+                            spatial_mis=a.spatial_mis,
+                            reject_dissimilar_neighbors=a.reject_dissimilar,
+                            confidence_cap=a.confidence_cap),
+        integrator=a.integrator, direct_strategy=a.direct, seed=a.seed,
+        n_devices=a.devices)
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    cfg = config_from_args(a)
+    scene = load_scene(a.scene)
+    if a.skybox:
+        import jax.numpy as jnp
+
+        from tpu_restir.scene.envmap import load_hdr
+
+        scene = scene.replace(envmap=jnp.asarray(load_hdr(a.skybox)))
+
+    from tpu_restir.renderer import Renderer
+
+    r = Renderer(scene, cfg)
+    if a.checkpoint:
+        from tpu_restir.io.checkpoint import try_restore
+
+        try_restore(r, a.checkpoint)
+    for i in range(a.frames):
+        r.step()
+        if a.export_every and (i + 1) % a.export_every == 0:
+            r.export(a.out)
+            print(f"frame {i + 1}/{a.frames} exported; "
+                  f"mean/var = {r.stats()}")
+    r.export(a.out)
+    if a.checkpoint:
+        from tpu_restir.io.checkpoint import save
+
+        save(r, a.checkpoint)
+    mean, var = r.stats()
+    print(f"done: {a.out}  frames={a.frames}  mean={mean:.6g} "
+          f"var={var:.6g}  time={r.render_time:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

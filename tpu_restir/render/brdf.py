@@ -81,18 +81,19 @@ def _phong_pdf(d_refl, s_refl, shininess, n, d, omega_i):
     return pdf
 
 
-def _phong_sample(key, d_refl, s_refl, shininess, n, d):
-    """Lobe-pick + sample + combined pdf (pg/MaterialPhong.cpp:18-67)."""
-    k0, k1, k2 = jax.random.split(key, 3)
+def _phong_sample_u(u5, d_refl, s_refl, shininess, n, d):
+    """Lobe-pick + sample + combined pdf (pg/MaterialPhong.cpp:18-67).
+    u5: (..., 5) uniforms [lobe pick, diff r1, diff r2, spec r1, spec r2]."""
     max_d = mathx.max_component(d_refl)
     max_s = mathx.max_component(s_refl)
     total = jnp.maximum(max_d + max_s, _EPS)
-    r0 = jax.random.uniform(k0, max_d.shape) * total
+    r0 = u5[..., 0] * total
     diffuse_branch = r0 < max_d
 
     omega_r = mathx.normalize(mathx.reflect(d, n))
-    wi_d = sampling.sample_cosine_hemisphere(k1, n)
-    wi_s = sampling.sample_cosine_lobe(k2, omega_r, shininess)
+    wi_d = sampling.cosine_hemisphere_from_uniforms(u5[..., 1:3], n)
+    wi_s = sampling.cosine_lobe_from_uniforms(u5[..., 3:5], omega_r,
+                                              shininess)
     omega_i = jnp.where(diffuse_branch[..., None], wi_d, wi_s)
 
     n_dot_v = mathx.dot(-d, n)
@@ -113,6 +114,11 @@ def _phong_sample(key, d_refl, s_refl, shininess, n, d):
     f_r = jnp.where(below[..., None], 0.0, f_r)
     vtype = jnp.where(diffuse_branch, VertexType.DIFFUSE, VertexType.SPECULAR)
     return omega_i, f_r, pdf, vtype.astype(jnp.int32)
+
+
+def _phong_sample(key, d_refl, s_refl, shininess, n, d):
+    u5 = jax.random.uniform(key, mathx.max_component(d_refl).shape + (5,))
+    return _phong_sample_u(u5, d_refl, s_refl, shininess, n, d)
 
 
 # ---------------------------------------------------------------------------
@@ -265,14 +271,14 @@ def gbuf_eval_pdf(gb, omega_i):
                       gb.normal, d, omega_i)
 
 
-def gbuf_sample_brdf(key, gb):
+def gbuf_sample_brdf_u(u5, gb):
     """LAMBERT -> cosine sample; everything else -> Phong sample
-    (pg/MaterialLambert.cpp:43-53, pg/MaterialPhong.cpp:174-222)."""
-    k_l, k_p = jax.random.split(key)
+    (pg/MaterialLambert.cpp:43-53, pg/MaterialPhong.cpp:174-222).
+    u5: (..., 5) uniforms; the Lambert branch reuses the diffuse pair."""
     d = mathx.normalize(gb.pos - gb.cam_pos)
-    wi_p, f_p, pdf_p, vt_p = _phong_sample(
-        k_p, gb.diffuse, gb.specular, gb.shininess, gb.normal, d)
-    wi_l = sampling.sample_cosine_hemisphere(k_l, gb.normal)
+    wi_p, f_p, pdf_p, vt_p = _phong_sample_u(
+        u5, gb.diffuse, gb.specular, gb.shininess, gb.normal, d)
+    wi_l = sampling.cosine_hemisphere_from_uniforms(u5[..., 1:3], gb.normal)
     f_l = gb.diffuse * _INV_PI
     pdf_l = sampling.pdf_cosine_hemisphere(gb.normal, wi_l)
     is_lam = gb.mat_type == MatType.LAMBERT
@@ -281,3 +287,8 @@ def gbuf_sample_brdf(key, gb):
         f_r=jnp.where(is_lam[..., None], f_l, f_p),
         pdf=jnp.where(is_lam, pdf_l, pdf_p),
         vtype=jnp.where(is_lam, VertexType.DIFFUSE, vt_p).astype(jnp.int32))
+
+
+def gbuf_sample_brdf(key, gb):
+    u5 = jax.random.uniform(key, gb.shininess.shape + (5,))
+    return gbuf_sample_brdf_u(u5, gb)

@@ -60,13 +60,14 @@ def empty_gbuffer(h: int, w: int) -> GBuffer:
         cam_pos=jnp.zeros((3,)), view_mat=jnp.eye(4), focal=jnp.zeros(()))
 
 
-def gbuffer_fill(scene, cam, cfg, key) -> GBuffer:
+def gbuffer_fill(scene, cam, cfg, frame_seed, ys, xs) -> GBuffer:
     """PASS 1: primary visibility -> surface attributes
     (pg/ReSTIRIntegrator.cpp:213-234). Misses store the sky/bg radiance in
     the emission channel so they are displayed directly and excluded from
-    resampling."""
+    resampling. ys/xs are GLOBAL pixel coords (a shard's row slice when
+    sharded)."""
     p = cfg.params
-    o, d = cam_mod.generate_rays(cam, cfg.camera, key)
+    o, d = cam_mod.generate_rays_at(cam, cfg.camera, frame_seed, ys, xs)
     hit = intersect.intersect_closest(scene, o, d, p.tnear_offset, jnp.inf,
                                       cfg.intersector)
     hi = intersect.hit_attributes(scene, o, d, hit)

@@ -9,11 +9,13 @@ the per-candidate weight
 where misWeight is the area/brdf balance heuristic in area measure
 (m_area/m_brdf, pg/ReSTIRIntegrator.h:62-74). Candidates are generated
 one family-index at a time so peak memory stays at one image per field.
+
+All randomness is PCG4D keyed by (frame_seed, stream, global pixel) —
+bit-identical under row sharding.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from tpu_restir import mathx, rng
@@ -37,12 +39,11 @@ def _mis_m_brdf(pdf_brdf, pdf_area, m_area, m_brdf):
     return jnp.where(denom > 0.0, pdf_brdf / jnp.maximum(denom, 1e-30), 0.0)
 
 
-def _area_candidate(key, scene, gb: GBuffer, cfg):
+def _area_candidate(u3, scene, gb: GBuffer, cfg):
     """One area-sampled candidate per pixel (areaSampleLight,
     pg/ReSTIRIntegrator.cpp:89-124). Returns (LightSample, W, misWeight)."""
     r = cfg.restir
-    shape = gb.depth.shape
-    ls = lights_mod.sample_light_point(key, scene, shape)
+    ls = lights_mod.light_point_from_uniforms(u3, scene)
     pdf_area = ls["pdf_area"]
 
     seg = ls["point"] - gb.pos
@@ -61,7 +62,7 @@ def _area_candidate(key, scene, gb: GBuffer, cfg):
     return cand, w_c, mis
 
 
-def _brdf_candidate(key, scene, gb: GBuffer, cfg):
+def _brdf_candidate(u5, scene, gb: GBuffer, cfg):
     """One BSDF-sampled candidate per pixel (brdfSampleLight,
     pg/ReSTIRIntegrator.cpp:126-177): sample the G-buffer BRDF, trace, and
     accept only emissive hits."""
@@ -69,7 +70,7 @@ def _brdf_candidate(key, scene, gb: GBuffer, cfg):
     r = cfg.restir
     shape = gb.depth.shape
 
-    s = brdf.gbuf_sample_brdf(key, gb)
+    s = brdf.gbuf_sample_brdf_u(u5, gb)
     o2 = gb.pos + p.normal_offset * gb.normal
     hit = intersect.intersect_closest(scene, o2, s.omega_i, p.tnear_offset,
                                       jnp.inf, cfg.intersector)
@@ -99,7 +100,7 @@ def _brdf_candidate(key, scene, gb: GBuffer, cfg):
     return cand, w_c, mis
 
 
-def initial_pass(key, scene, gb: GBuffer, cfg) -> rsv.Reservoir:
+def initial_pass(frame_seed, scene, gb: GBuffer, cfg, ys, xs) -> rsv.Reservoir:
     r = cfg.restir
     p = cfg.params
     shape = gb.depth.shape
@@ -109,27 +110,31 @@ def initial_pass(key, scene, gb: GBuffer, cfg) -> rsv.Reservoir:
         return res
 
     test_vis = not r.do_visibility_pass
-    k_area = rng.pass_key(key, rng.PASS_INITIAL_AREA)
-    k_brdf = rng.pass_key(key, rng.PASS_INITIAL_BRDF)
-    k_wrs = rng.pass_key(key, rng.PASS_INITIAL_WRS)
     one = jnp.ones(shape)
 
+    def u(pass_id, draw, n, slot=0):
+        return rng.pixel_uniforms(frame_seed,
+                                  rng.stream_id(pass_id, draw, slot),
+                                  ys, xs, n)
+
     for i in range(r.m_area):
-        cand, w_c, mis = _area_candidate(rng.draw_key(k_area, i), scene, gb,
-                                         cfg)
+        cand, w_c, mis = _area_candidate(u(rng.PASS_INITIAL_AREA, i, 3),
+                                         scene, gb, cfg)
         p_hat = evaluate_p_hat(cand, scene, gb, test_vis, p, cfg.intersector)
         weight_term = mis if r.m_brdf > 0 else 1.0 / r.m_area
         w = weight_term * p_hat * w_c
-        res, _ = rsv.add_sample(res, rng.draw_key(k_wrs, i), cand, w, one)
+        res, _ = rsv.add_sample_u(
+            res, u(rng.PASS_INITIAL_WRS, i, 1)[..., 0], cand, w, one)
 
     for i in range(r.m_brdf):
-        cand, w_c, mis = _brdf_candidate(rng.draw_key(k_brdf, i), scene, gb,
-                                         cfg)
+        u5 = jnp.concatenate([u(rng.PASS_INITIAL_BRDF, i, 4, 0),
+                              u(rng.PASS_INITIAL_BRDF, i, 1, 1)], axis=-1)
+        cand, w_c, mis = _brdf_candidate(u5, scene, gb, cfg)
         p_hat = evaluate_p_hat(cand, scene, gb, test_vis, p, cfg.intersector)
         weight_term = mis if r.m_area > 0 else 1.0 / r.m_brdf
         w = weight_term * p_hat * w_c
-        res, _ = rsv.add_sample(res, rng.draw_key(k_wrs, 1000 + i), cand, w,
-                                one)
+        res, _ = rsv.add_sample_u(
+            res, u(rng.PASS_INITIAL_WRS, 1000 + i, 1)[..., 0], cand, w, one)
 
     # finalize unbiased contribution weight W = w_sum / p_hat(best)
     # (pg/ReSTIRIntegrator.cpp:289-293)

@@ -6,6 +6,12 @@ static globals (pg/simpleguidx11.h:49-66), here the whole inter-frame
 state is a RestirState pytree returned from each step — the functional
 ping-pong. Pass order: G-buffer fill -> initial candidates ->
 [visibility] -> [temporal] -> [spatial x N] -> shade.
+
+The same pass code runs single-chip and row-sharded: in sharded mode
+(axis_name set, called inside shard_map) each device renders its row
+slice, exchanging reservoir/G-buffer halos before reuse passes
+(tpu_restir.dist). All randomness is PCG4D keyed by global pixel coords,
+so both modes are bit-identical.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from tpu_restir import rng
+from tpu_restir.dist import halo as halo_mod
 from tpu_restir.render.integrators.restir import gbuffer as gb_mod
 from tpu_restir.render.integrators.restir import reservoir as rsv
 from tpu_restir.render.integrators.restir.initial import (initial_pass,
@@ -38,29 +45,77 @@ def init_restir_state(h: int, w: int) -> RestirState:
                        gb_prev=gb_mod.empty_gbuffer(h, w))
 
 
-def restir_step(scene, cam, cfg, key, state: RestirState, frame_ctr):
-    """One ReSTIR frame. Returns (radiance image, new state)."""
-    r = cfg.restir
+def restir_step(scene, cam, cfg, frame_seed, state: RestirState, frame_ctr,
+                *, axis_name=None, n_devices: int = 1):
+    """One ReSTIR frame. Returns (radiance image, new state).
 
-    gb = gb_mod.gbuffer_fill(scene, cam, cfg,
-                             rng.pass_key(key, rng.PASS_GBUFFER))
-    res = initial_pass(key, scene, gb, cfg)
+    frame_seed: uint32 from rng.make_frame_seed(cfg.seed, frame).
+    axis_name/n_devices: set when called inside shard_map over row tiles.
+    """
+    r = cfg.restir
+    h, w = cfg.camera.height, cfg.camera.width
+    local_h = state.res_prev.w_sum.shape[0]
+
+    if axis_name is not None:
+        row0 = jax.lax.axis_index(axis_name) * local_h
+        halo = halo_mod.halo_width(r.spatial_reuse_radius)
+        # reuse taps bounded by the halo fit in neighbor shards; tiny
+        # shards fall back to an all-gather of the row axis (exact)
+        use_gather = halo > local_h
+        ext_row0 = 0 if use_gather else row0 - halo
+    else:
+        row0 = 0
+        halo = 0
+        use_gather = False
+        ext_row0 = 0
+    ys = jnp.arange(local_h)[:, None] + row0
+    ys = jnp.broadcast_to(ys, (local_h, w))
+    xs = jnp.broadcast_to(jnp.arange(w)[None, :], (local_h, w))
+
+    def extend(tree):
+        if axis_name is None:
+            return tree
+
+        def ext_fields(sub):
+            if use_gather:
+                return halo_mod.gather_rows(sub, axis_name)
+            return halo_mod.extend_rows(sub, halo, axis_name, n_devices)
+
+        if isinstance(tree, gb_mod.GBuffer):
+            # extend pixel fields only; the camera snapshot is replicated
+            ext = ext_fields(
+                dict(pos=tree.pos, normal=tree.normal, diffuse=tree.diffuse,
+                     specular=tree.specular, emission=tree.emission,
+                     shininess=tree.shininess, depth=tree.depth,
+                     mat_type=tree.mat_type))
+            return gb_mod.GBuffer(**ext, cam_pos=tree.cam_pos,
+                                  view_mat=tree.view_mat, focal=tree.focal)
+        return ext_fields(tree)
+
+    gb = gb_mod.gbuffer_fill(scene, cam, cfg, frame_seed, ys, xs)
+    res = initial_pass(frame_seed, scene, gb, cfg, ys, xs)
 
     if r.do_visibility_pass:
         res = visibility_pass(scene, gb, res, cfg)
 
+    gb_ext = extend(gb) if (r.do_temporal_reuse or r.do_spatial_reuse) \
+        else gb
+
     if r.do_temporal_reuse:
-        res_t = temporal_pass(key, scene, gb, state.gb_prev, res,
-                              state.res_prev, cfg)
+        res_t = temporal_pass(frame_seed, scene, gb, state.gb_prev, res,
+                              state.res_prev, cfg, ys, xs,
+                              gb_ext=gb_ext, gb_prev_ext=extend(state.gb_prev),
+                              ext_row0=ext_row0)
         # no temporal reuse on the very first frame (frameCtr > 0 gate,
         # pg/simpleguidx11.cpp:408)
         res = rsv.select(jnp.broadcast_to(frame_ctr > 0, res.w_sum.shape),
                          res_t, res)
 
     if r.do_spatial_reuse:
-        k_sp = rng.pass_key(key, rng.PASS_SPATIAL)
         for i in range(r.spatial_pass_count):
-            res = spatial_pass(rng.draw_key(k_sp, i), scene, gb, res, cfg)
+            res = spatial_pass(frame_seed, i, scene, gb, res, cfg, ys, xs,
+                               gb_ext=gb_ext, res_ext=extend(res),
+                               ext_row0=ext_row0)
 
     frame = shade_pass(scene, gb, res, cfg)
     return frame, RestirState(res_prev=res, gb_prev=gb)
@@ -74,7 +129,7 @@ def render_restir_frames(scene, cam, cfg, seed: int, n_frames: int):
     step = jax.jit(restir_step, static_argnames=("cfg",))
     acc = jnp.zeros((h, w, 3))
     for f in range(n_frames):
-        frame, state = step(scene, cam, cfg, rng.frame_key(seed, f), state,
-                            jnp.asarray(f))
+        frame, state = step(scene, cam, cfg, rng.make_frame_seed(seed, f),
+                            state, jnp.asarray(f))
         acc = acc + (frame - acc) / (f + 1.0)
     return acc

@@ -44,14 +44,14 @@ def empty_reservoir(shape) -> Reservoir:
                      confidence=jnp.zeros(shape))
 
 
-def add_sample(res: Reservoir, key: jax.Array, cand: LightSample,
-               w: jnp.ndarray, conf_inc: jnp.ndarray):
+def add_sample_u(res: Reservoir, u: jnp.ndarray, cand: LightSample,
+                 w: jnp.ndarray, conf_inc: jnp.ndarray):
     """Streaming WRS update (reference Reservoir::addSample,
     pg/Reservoir.h:33-47): accumulate w_sum/confidence, replace the kept
-    sample w.p. w / w_sum'. Returns (reservoir, accepted_mask)."""
+    sample w.p. w / w_sum'. u is the acceptance uniform per pixel.
+    Returns (reservoir, accepted_mask)."""
     w_sum = res.w_sum + w
     conf = res.confidence + conf_inc
-    u = jax.random.uniform(key, w.shape)
     accept = (w_sum > 0.0) & (u < w / jnp.maximum(w_sum, 1e-30))
     a3 = accept[..., None]
     sample = LightSample(
@@ -61,6 +61,13 @@ def add_sample(res: Reservoir, key: jax.Array, cand: LightSample,
         valid=jnp.where(accept, cand.valid, res.sample.valid))
     return Reservoir(sample=sample, w_sum=w_sum, w=res.w, confidence=conf), \
         accept
+
+
+def add_sample(res: Reservoir, key: jax.Array, cand: LightSample,
+               w: jnp.ndarray, conf_inc: jnp.ndarray):
+    """Key-based wrapper around add_sample_u."""
+    return add_sample_u(res, jax.random.uniform(key, w.shape), cand, w,
+                        conf_inc)
 
 
 def cap_confidence(res: Reservoir, cap: float) -> Reservoir:

@@ -11,46 +11,61 @@ scheme-dependent MIS weight:
   PAIRWISE                — pairwise MIS vs the canonical sample, O(M)
 All per-pixel control flow is masked vector math; every p_hat evaluation
 with visibility is one batched occlusion query over the whole image.
+
+Sharded mode: neighbor taps read halo-extended reservoir/G-buffer strips
+(tpu_restir.dist.halo); disk offsets and WRS acceptance are PCG4D draws
+keyed by GLOBAL pixel coords, so the sharded pass is bit-identical to the
+single-chip pass.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from tpu_restir import mathx, rng
 from tpu_restir.config import SpatialMis
+from tpu_restir.dist.halo import local_row
 from tpu_restir.render import intersect
 from tpu_restir.render.integrators.restir import gbuffer as gb_mod
 from tpu_restir.render.integrators.restir import reservoir as rsv
 from tpu_restir.render.integrators.restir.phat import evaluate_p_hat
-from tpu_restir.render.sampling import sample_disk_uniform
+from tpu_restir.render.sampling import disk_from_uniforms
 
 
-def spatial_pass(key, scene, gb: gb_mod.GBuffer, res_in: rsv.Reservoir,
-                 cfg) -> rsv.Reservoir:
+def spatial_pass(frame_seed, pass_idx: int, scene, gb: gb_mod.GBuffer,
+                 res_in: rsv.Reservoir, cfg, ys, xs, *,
+                 gb_ext=None, res_ext=None, ext_row0=0) -> rsv.Reservoir:
     p = cfg.params
     r = cfg.restir
-    h, w = gb.depth.shape
-    shape = (h, w)
-    k_nbr = rng.draw_key(key, 0)
-    k_wrs = rng.draw_key(key, 1)
+    h, w = cfg.camera.height, cfg.camera.width
+    shape = gb.depth.shape
+    gb_ext = gb if gb_ext is None else gb_ext
+    res_ext = res_in if res_ext is None else res_ext
+    ext_h = gb_ext.depth.shape[0]
     n_cand = r.spatial_neighbor_count + 1  # index 0 = center
 
-    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    def uni(draw, n, slot):
+        return rng.pixel_uniforms(
+            frame_seed,
+            rng.stream_id(rng.PASS_SPATIAL, pass_idx * 64 + draw, slot),
+            ys, xs, n)
 
     # neighbor coords: float disk offsets truncated to int (glm vec2->ivec2
     # conversion), clamped to the screen (pg/ReSTIRIntegrator.cpp:334-341)
-    offs = sample_disk_uniform(k_nbr, r.spatial_reuse_radius,
-                               (r.spatial_neighbor_count,) + shape)
-    offi = jnp.trunc(offs).astype(jnp.int32)
-    nx = jnp.clip(xs[None] + offi[..., 0], 0, w - 1)
-    ny = jnp.clip(ys[None] + offi[..., 1], 0, h - 1)
-    cand_x = jnp.concatenate([xs[None], nx], axis=0)  # (n_cand, h, w)
-    cand_y = jnp.concatenate([ys[None], ny], axis=0)
+    cand_gy = [ys]
+    cand_gx = [xs]
+    for k in range(r.spatial_neighbor_count):
+        off = disk_from_uniforms(uni(k, 2, 2), r.spatial_reuse_radius)
+        offi = jnp.trunc(off).astype(jnp.int32)
+        cand_gx.append(jnp.clip(xs + offi[..., 0], 0, w - 1))
+        cand_gy.append(jnp.clip(ys + offi[..., 1], 0, h - 1))
 
-    gbs = [gb_mod.gather(gb, cand_y[i], cand_x[i]) for i in range(n_cand)]
-    ress = [rsv.gather(res_in, cand_y[i], cand_x[i]) for i in range(n_cand)]
+    gbs = []
+    ress = []
+    for i in range(n_cand):
+        ly = local_row(cand_gy[i], ext_row0, ext_h)
+        gbs.append(gb_mod.gather(gb_ext, ly, cand_gx[i]))
+        ress.append(rsv.gather(res_ext, ly, cand_gx[i]))
 
     # candidate validity (pg/ReSTIRIntegrator.cpp:344-374)
     valid = [jnp.ones(shape, bool)]
@@ -137,8 +152,8 @@ def spatial_pass(key, scene, gb: gb_mod.GBuffer, res_in: rsv.Reservoir,
     sel_idx = jnp.zeros(shape, jnp.int32)
     for i in range(n_cand):
         w_i = jnp.where(valid[i], mis[i] * p_center[i] * ress[i].w, 0.0)
-        out, acc = rsv.add_sample(out, rng.draw_key(k_wrs, i),
-                                  ress[i].sample, w_i, conf[i])
+        out, acc = rsv.add_sample_u(out, uni(i, 1, 3)[..., 0],
+                                    ress[i].sample, w_i, conf[i])
         sel_idx = jnp.where(acc, i, sel_idx)
 
     # --- finalize W per scheme (pg/ReSTIRIntegrator.cpp:480-538)

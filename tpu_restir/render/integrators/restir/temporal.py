@@ -11,34 +11,42 @@ heuristic weights.
 Faithful quirk (SURVEY.md §2.5): the *previous reservoir* is read at the
 CURRENT pixel while the previous *G-buffer element* is read at the
 reprojected pixel (pg/ReSTIRIntegrator.cpp:641 vs :652).
+
+Sharded mode: reprojected taps read the halo-extended previous G-buffer;
+coordinates are clamped into shard+halo (motion-bounded reuse,
+SURVEY.md §5.7). WRS acceptance draws are PCG4D keyed by global coords.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from tpu_restir import mathx, rng
+from tpu_restir.dist.halo import local_row
 from tpu_restir.render import camera as cam_mod
 from tpu_restir.render.integrators.restir import gbuffer as gb_mod
 from tpu_restir.render.integrators.restir import reservoir as rsv
 from tpu_restir.render.integrators.restir.phat import evaluate_p_hat
 
 
-def temporal_pass(key, scene, gb: gb_mod.GBuffer, gb_prev: gb_mod.GBuffer,
-                  res_cur: rsv.Reservoir, res_prev: rsv.Reservoir,
-                  cfg) -> rsv.Reservoir:
+def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
+                  gb_prev: gb_mod.GBuffer, res_cur: rsv.Reservoir,
+                  res_prev: rsv.Reservoir, cfg, ys, xs, *,
+                  gb_ext=None, gb_prev_ext=None,
+                  ext_row0=0) -> rsv.Reservoir:
     p = cfg.params
     r = cfg.restir
-    h, w = gb.depth.shape
-    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    h, w = cfg.camera.height, cfg.camera.width
+    gb_ext = gb if gb_ext is None else gb_ext
+    gb_prev_ext = gb_prev if gb_prev_ext is None else gb_prev_ext
+    ext_h = gb_prev_ext.depth.shape[0]
 
     # backward: current surface into the previous camera
     bx, by, valid_b = cam_mod.project_to_screen(
         gb_prev.view_mat, gb_prev.focal, w, h, gb.pos)
     bxc = jnp.clip(bx, 0, w - 1)
-    byc = jnp.clip(by, 0, h - 1)
-    prev_elem = gb_mod.gather(gb_prev, byc, bxc)
+    byc = local_row(jnp.clip(by, 0, h - 1), ext_row0, ext_h)
+    prev_elem = gb_mod.gather(gb_prev_ext, byc, bxc)
 
     cur_depth = mathx.length(gb.pos - gb.cam_pos)
     prev_depth = mathx.length(prev_elem.pos - gb_prev.cam_pos)
@@ -51,8 +59,9 @@ def temporal_pass(key, scene, gb: gb_mod.GBuffer, gb_prev: gb_mod.GBuffer,
     fx, fy, valid_f = cam_mod.project_to_screen(
         gb.view_mat, gb.focal, w, h, prev_at_cur_pos)
     fxc = jnp.clip(fx, 0, w - 1)
-    fyc = jnp.clip(fy, 0, h - 1)
-    fw_elem_pos = gb.pos[fyc, fxc]
+    fyc = local_row(jnp.clip(fy, 0, h - 1), ext_row0,
+                    gb_ext.depth.shape[0])
+    fw_elem_pos = gb_ext.pos[fyc, fxc]
     cur_depth_p = mathx.length(prev_at_cur_pos - gb_prev.cam_pos)
     prev_depth_p = mathx.length(fw_elem_pos - gb.cam_pos)
     ratio_p = jnp.minimum(cur_depth_p, prev_depth_p) / jnp.maximum(
@@ -83,11 +92,14 @@ def temporal_pass(key, scene, gb: gb_mod.GBuffer, gb_prev: gb_mod.GBuffer,
                        p_prev_ps * conf_p / jnp.maximum(denom_p, 1e-30), 0.0)
 
     out = rsv.empty_reservoir(gb.depth.shape)
-    k1, k2 = jax.random.split(rng.pass_key(key, rng.PASS_TEMPORAL))
-    out, _ = rsv.add_sample(out, k1, cur_s, m_cur * p_cur_cs * res_cur.w,
-                            conf_c)
-    out, _ = rsv.add_sample(out, k2, prev_s, m_prev * p_cur_ps * res_prev.w,
-                            conf_p)
+    u1 = rng.pixel_uniform(frame_seed, rng.stream_id(rng.PASS_TEMPORAL, 0),
+                           ys, xs)
+    u2 = rng.pixel_uniform(frame_seed, rng.stream_id(rng.PASS_TEMPORAL, 1),
+                           ys, xs)
+    out, _ = rsv.add_sample_u(out, u1, cur_s, m_cur * p_cur_cs * res_cur.w,
+                              conf_c)
+    out, _ = rsv.add_sample_u(out, u2, prev_s, m_prev * p_cur_ps * res_prev.w,
+                              conf_p)
     out = rsv.cap_confidence(out, r.confidence_cap)
 
     final_p_hat = ph(out.sample, gb)

@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from tpu_restir import mathx
@@ -154,11 +155,167 @@ def _run_chunked(fn, o, d, tnear, tfar, chunk):
     return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), out)
 
 
+# ---------------------------------------------------------------------------
+# MXU (Woop-transform) backend: tpu_restir.kernels.woop — ray x triangle as
+# two large matmuls on the systolic array.
+# ---------------------------------------------------------------------------
+
+def _pad_woop(scene, block: int):
+    from tpu_restir.kernels.woop import build_woop_matrices
+
+    m = scene.woop
+    if m is None:
+        m = jnp.asarray(build_woop_matrices(np.asarray(scene.tri_v)))
+    n = m.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        filler = jnp.zeros((pad, 3, 4), m.dtype)
+        # degenerate padding: translation inf -> u/v never valid
+        filler = filler.at[:, 0, 3].set(jnp.inf).at[:, 1, 3].set(jnp.inf)
+        m = jnp.concatenate([m, filler], axis=0)
+    # (nb, 4, 3*block) packed matmul operands
+    return m.reshape(nb, block * 3, 4).transpose(0, 2, 1)
+
+
+def _closest_chunk_woop(o, d, tnear, tfar, wb):
+    from tpu_restir.kernels.woop import intersect_block as woop_block
+
+    c = o.shape[0]
+    block = wb.shape[2] // 3
+    init = (jnp.full((c,), _INF), jnp.zeros((c,)), jnp.zeros((c,)),
+            jnp.full((c,), -1, jnp.int32))
+
+    def body(carry, blk):
+        bt, bu, bv, btri = carry
+        w_packed, base = blk
+        t, u, v, ok = woop_block(o, d, w_packed, tnear, tfar)
+        tt = jnp.where(ok, t, _INF)
+        j = jnp.argmin(tt, axis=1)
+        rows = jnp.arange(c)
+        mt, mu, mv = tt[rows, j], u[rows, j], v[rows, j]
+        better = mt < bt
+        return (jnp.where(better, mt, bt), jnp.where(better, mu, bu),
+                jnp.where(better, mv, bv),
+                jnp.where(better, base + j.astype(jnp.int32), btri)), None
+
+    nb = wb.shape[0]
+    bases = jnp.arange(nb, dtype=jnp.int32) * block
+    (bt, bu, bv, btri), _ = jax.lax.scan(body, init, (wb, bases))
+    return bt, bu, bv, btri
+
+
+def _any_chunk_woop(o, d, tnear, tfar, wb):
+    from tpu_restir.kernels.woop import intersect_block as woop_block
+
+    c = o.shape[0]
+
+    def body(carry, w_packed):
+        _t, _u, _v, ok = woop_block(o, d, w_packed, tnear, tfar)
+        return carry | jnp.any(ok, axis=1), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((c,), bool), wb)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cluster backend: Morton-cluster AABB culling (tpu_restir.accel.bvh) with
+# chunk-lockstep skipping — a ray chunk scans clusters and lax.cond-skips
+# any cluster none of its rays touch; visited clusters run the MXU woop
+# test. Coherent chunks (primary/shadow rays in image-tile order) visit a
+# small fraction of clusters.
+# ---------------------------------------------------------------------------
+
+def _aabb_hits(o, d, tnear, tfar, cmin, cmax):
+    """Slab test rays (C,3) x boxes (K,3) -> bool (C,K)."""
+    # clamp near-zero components to +/-1e-20 so inv stays finite (no 0*inf)
+    d_safe = jnp.where(jnp.abs(d) > 1e-20, d,
+                       jnp.where(d >= 0.0, 1e-20, -1e-20))
+    inv = 1.0 / d_safe
+    t1 = (cmin[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    t2 = (cmax[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return (tn <= tf) & (tf >= tnear[:, None]) & (tn <= tfar[:, None])
+
+
+def _closest_chunk_cluster(o, d, tnear, tfar, wb, cmin, cmax):
+    from tpu_restir.kernels.woop import intersect_block as woop_block
+
+    c = o.shape[0]
+    block = wb.shape[2] // 3
+    hits = _aabb_hits(o, d, tnear, tfar, cmin, cmax)   # (c, C)
+    any_hit = jnp.any(hits, axis=0)                    # (C,)
+    init = (jnp.full((c,), _INF), jnp.zeros((c,)), jnp.zeros((c,)),
+            jnp.full((c,), -1, jnp.int32))
+
+    def body(carry, blk):
+        w_packed, base, visit = blk
+
+        def do(carry):
+            bt, bu, bv, btri = carry
+            t, u, v, ok = woop_block(o, d, w_packed, tnear, tfar)
+            tt = jnp.where(ok, t, _INF)
+            j = jnp.argmin(tt, axis=1)
+            rows = jnp.arange(c)
+            mt, mu, mv = tt[rows, j], u[rows, j], v[rows, j]
+            better = mt < bt
+            return (jnp.where(better, mt, bt), jnp.where(better, mu, bu),
+                    jnp.where(better, mv, bv),
+                    jnp.where(better, base + j.astype(jnp.int32), btri))
+
+        return jax.lax.cond(visit, do, lambda x: x, carry), None
+
+    nb = wb.shape[0]
+    bases = jnp.arange(nb, dtype=jnp.int32) * block
+    (bt, bu, bv, btri), _ = jax.lax.scan(body, init, (wb, bases, any_hit))
+    return bt, bu, bv, btri
+
+
+def _any_chunk_cluster(o, d, tnear, tfar, wb, cmin, cmax):
+    from tpu_restir.kernels.woop import intersect_block as woop_block
+
+    c = o.shape[0]
+    hits = _aabb_hits(o, d, tnear, tfar, cmin, cmax)
+    any_hit = jnp.any(hits, axis=0)
+
+    def body(carry, blk):
+        w_packed, visit = blk
+
+        def do(carry):
+            _t, _u, _v, ok = woop_block(o, d, w_packed, tnear, tfar)
+            return carry | jnp.any(ok, axis=1)
+
+        # skip when no ray touches the cluster OR every ray already occluded
+        return jax.lax.cond(visit & ~jnp.all(carry), do, lambda x: x,
+                            carry), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((c,), bool), (wb, any_hit))
+    return out
+
+
+def _backend(scene, cfg: IntersectorConfig) -> str:
+    if cfg.backend != "auto":
+        return cfg.backend
+    if scene.cluster_min is not None:
+        return "cluster"
+    return "woop_mxu" if scene.woop is not None else "brute"
+
+
 def intersect_closest(scene, o, d, tnear, tfar,
                       cfg: IntersectorConfig = IntersectorConfig()) -> Hit:
     """Closest-hit query (reference Intersection::getClosestIntersection)."""
-    v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
-    fn = partial(_closest_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
+    backend = _backend(scene, cfg)
+    if backend == "cluster":
+        wb = _pad_woop(scene, scene.cluster_size)
+        fn = partial(_closest_chunk_cluster, wb=wb, cmin=scene.cluster_min,
+                     cmax=scene.cluster_max)
+    elif backend == "woop_mxu":
+        wb = _pad_woop(scene, min(cfg.tri_block, scene.num_tris))
+        fn = partial(_closest_chunk_woop, wb=wb)
+    else:
+        v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
+        fn = partial(_closest_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
     bt, bu, bv, btri = _run_chunked(fn, o, d, tnear, tfar, cfg.ray_chunk)
     hit = btri >= 0
     return Hit(t=jnp.where(hit, bt, 0.0), u=bu, v=bv, tri=btri, hit=hit)
@@ -167,8 +324,17 @@ def intersect_closest(scene, o, d, tnear, tfar,
 def intersect_any(scene, o, d, tnear, tfar,
                   cfg: IntersectorConfig = IntersectorConfig()) -> jnp.ndarray:
     """Any-hit (shadow) query (reference rtcOccluded1 path)."""
-    v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
-    fn = partial(_any_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
+    backend = _backend(scene, cfg)
+    if backend == "cluster":
+        wb = _pad_woop(scene, scene.cluster_size)
+        fn = partial(_any_chunk_cluster, wb=wb, cmin=scene.cluster_min,
+                     cmax=scene.cluster_max)
+    elif backend == "woop_mxu":
+        wb = _pad_woop(scene, min(cfg.tri_block, scene.num_tris))
+        fn = partial(_any_chunk_woop, wb=wb)
+    else:
+        v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
+        fn = partial(_any_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
     return _run_chunked(fn, o, d, tnear, tfar, cfg.ray_chunk)
 
 

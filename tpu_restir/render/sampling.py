@@ -21,57 +21,69 @@ _TWO_PI = 2.0 * jnp.pi
 # pixel (anti-aliasing) samplers — reference pg/PixelSampler.h:6-67
 # ---------------------------------------------------------------------------
 
-def pixel_offsets(key: jax.Array, shape, kind: str, grid=(5, 5)):
-    """Sub-pixel offsets in [0,1)^2 for each pixel; shape is (..., ) of
-    pixels, returns (..., 2)."""
+def pixel_offsets_u(u4, kind: str, grid=(5, 5)):
+    """Sub-pixel offsets in [0,1)^2 from (..., 4) uniforms."""
+    shape = u4.shape[:-1]
     if kind == PixelSamplerKind.CENTER:
         return jnp.zeros(shape + (2,), jnp.float32)
     if kind == PixelSamplerKind.RANDOM:
-        return jax.random.uniform(key, shape + (2,))
+        return u4[..., :2]
     if kind == PixelSamplerKind.STRATIFIED:
-        kj, kb = jax.random.split(key)
         gx, gy = grid
         block = jnp.array([1.0 / gx, 1.0 / gy], jnp.float32)
-        jitter = jax.random.uniform(kj, shape + (2,)) * block
-        cell = jnp.floor(
-            jax.random.uniform(kb, shape + (2,))
-            * jnp.array([gx, gy], jnp.float32)) * block
+        jitter = u4[..., :2] * block
+        cell = jnp.floor(u4[..., 2:4] * jnp.array([gx, gy], jnp.float32)) \
+            * block
         return cell + jitter
     raise ValueError(f"unknown pixel sampler {kind!r}")
+
+
+def pixel_offsets(key: jax.Array, shape, kind: str, grid=(5, 5)):
+    """Key-based wrapper: sub-pixel offsets in [0,1)^2, returns (..., 2)."""
+    return pixel_offsets_u(jax.random.uniform(key, shape + (4,)), kind, grid)
 
 
 # ---------------------------------------------------------------------------
 # geometric samplers — reference pg/Sampling.cpp
 # ---------------------------------------------------------------------------
 
-def sample_disk_uniform(key: jax.Array, radius: float, shape):
+def disk_from_uniforms(u, radius: float):
     """Disk offsets per the reference's formula r = sqrt(U(0, R))
     (pg/Sampling.cpp:78-87). NOTE the quirk (SURVEY.md §2.5): the radius
     argument bounds r^2, so the effective pixel radius is sqrt(R). The
-    formula is replicated, not the intent.
+    formula is replicated, not the intent. u: (..., 2) uniforms.
     """
-    k1, k2 = jax.random.split(key)
-    theta = jax.random.uniform(k1, shape, maxval=2.0) * jnp.pi
-    r = jnp.sqrt(jax.random.uniform(k2, shape, maxval=radius))
+    theta = u[..., 0] * 2.0 * jnp.pi
+    r = jnp.sqrt(u[..., 1] * radius)
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
 
 
-def sample_triangle_barycentrics(key: jax.Array, shape):
-    """Uniform barycentric weights (x, y, z) per pg/Sampling.cpp:63-76."""
-    r1, r2 = jnp.moveaxis(jax.random.uniform(key, shape + (2,)), -1, 0)
+def sample_disk_uniform(key: jax.Array, radius: float, shape):
+    return disk_from_uniforms(jax.random.uniform(key, shape + (2,)), radius)
+
+
+def triangle_barycentrics_from_uniforms(u):
+    """Uniform barycentric weights (x, y, z) per pg/Sampling.cpp:63-76.
+    u: (..., 2) uniforms."""
+    r1, r2 = u[..., 0], u[..., 1]
     s = jnp.sqrt(r1)
     return jnp.stack([1.0 - s, s * (1.0 - r2), s * r2], axis=-1)
+
+
+def sample_triangle_barycentrics(key: jax.Array, shape):
+    return triangle_barycentrics_from_uniforms(
+        jax.random.uniform(key, shape + (2,)))
 
 
 # ---------------------------------------------------------------------------
 # directional distributions — reference pg/Distribution.h
 # ---------------------------------------------------------------------------
 
-def sample_cosine_hemisphere(key: jax.Array, normal):
+def cosine_hemisphere_from_uniforms(u, normal):
     """Cosine-weighted hemisphere direction around `normal`
-    (CosineWeightedDistribution::sample, pg/Distribution.h:9-31)."""
-    shape = normal.shape[:-1]
-    r1, r2 = jnp.moveaxis(jax.random.uniform(key, shape + (2,)), -1, 0)
+    (CosineWeightedDistribution::sample, pg/Distribution.h:9-31).
+    u: (..., 2) uniforms."""
+    r1, r2 = u[..., 0], u[..., 1]
     sq = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
     local = jnp.stack([jnp.cos(_TWO_PI * r1) * sq,
                        jnp.sin(_TWO_PI * r1) * sq,
@@ -81,16 +93,23 @@ def sample_cosine_hemisphere(key: jax.Array, normal):
     return mathx.to_world(o1, o2, normal, local)
 
 
+def sample_cosine_hemisphere(key: jax.Array, normal):
+    shape = normal.shape[:-1]
+    return cosine_hemisphere_from_uniforms(
+        jax.random.uniform(key, shape + (2,)), normal)
+
+
 def pdf_cosine_hemisphere(normal, omega_i):
     """max(n.wi, 0)/pi (CosineWeightedDistribution::getPdf)."""
     return jnp.maximum(mathx.dot(normal, omega_i), 0.0) / jnp.pi
 
 
-def sample_cosine_lobe(key: jax.Array, omega_r, gamma):
+def cosine_lobe_from_uniforms(u, omega_r, gamma):
     """Cosine-lobe (Phong exponent gamma) direction around omega_r
-    (CosineLobeDistribution::sample, pg/Distribution.h:41-63)."""
+    (CosineLobeDistribution::sample, pg/Distribution.h:41-63).
+    u: (..., 2) uniforms."""
     shape = omega_r.shape[:-1]
-    r1, r2 = jnp.moveaxis(jax.random.uniform(key, shape + (2,)), -1, 0)
+    r1, r2 = u[..., 0], u[..., 1]
     gamma = jnp.broadcast_to(jnp.asarray(gamma, jnp.float32), shape)
     z = jnp.power(jnp.maximum(r2, 1e-30), 1.0 / (gamma + 1.0))
     sq = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
@@ -100,6 +119,12 @@ def sample_cosine_lobe(key: jax.Array, omega_r, gamma):
     local = mathx.normalize(local)
     o1, o2 = mathx.onb(omega_r)
     return mathx.to_world(o1, o2, omega_r, local)
+
+
+def sample_cosine_lobe(key: jax.Array, omega_r, gamma):
+    shape = omega_r.shape[:-1]
+    return cosine_lobe_from_uniforms(
+        jax.random.uniform(key, shape + (2,)), omega_r, gamma)
 
 
 def pdf_cosine_lobe(omega_i, omega_r, gamma):

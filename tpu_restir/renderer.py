@@ -73,8 +73,19 @@ class Renderer:
             from tpu_restir.render.integrators.restir.pipeline import (
                 init_restir_state, restir_step)
             self._restir_state = init_restir_state(h, w)
-            self._restir_step = jax.jit(restir_step,
-                                        static_argnames=("cfg",))
+            if cfg.n_devices > 1:
+                from tpu_restir.dist.mesh import make_mesh
+                from tpu_restir.dist.sharded import (
+                    device_put_replicated, device_put_row_sharded,
+                    make_sharded_restir_step)
+                mesh = make_mesh(cfg.n_devices, cfg.mesh_axis)
+                self.scene = device_put_replicated(self.scene, mesh)
+                self._restir_state = device_put_row_sharded(
+                    self._restir_state, mesh, h)
+                self._restir_step = make_sharded_restir_step(mesh, cfg)
+            else:
+                self._restir_step = jax.jit(
+                    partial(restir_step), static_argnames=("cfg",))
 
     def set_camera(self, view_from=None, view_at=None):
         """Camera move (one-frame-latency orbit analog); accumulation is
@@ -89,12 +100,18 @@ class Renderer:
     def step(self) -> jnp.ndarray:
         """Render one frame and fold it into the accumulator."""
         t0 = time.perf_counter()
-        key = rng.frame_key(self.cfg.seed, self.frame_ctr)
         if self.cfg.integrator == "restir":
-            frame, self._restir_state = self._restir_step(
-                self.scene, self.cam, self.cfg, key, self._restir_state,
-                jnp.asarray(self.frame_ctr))
+            fseed = rng.make_frame_seed(self.cfg.seed, self.frame_ctr)
+            if self.cfg.n_devices > 1:
+                frame, self._restir_state = self._restir_step(
+                    self.scene, self.cam, fseed, self._restir_state,
+                    jnp.asarray(self.frame_ctr))
+            else:
+                frame, self._restir_state = self._restir_step(
+                    self.scene, self.cam, self.cfg, fseed,
+                    self._restir_state, jnp.asarray(self.frame_ctr))
         else:
+            key = rng.frame_key(self.cfg.seed, self.frame_ctr)
             frame = _frame_simple(self.scene, self.cam, self.cfg, key)
         # progressive lerp 1/(n+1) (pg/simpleguidx11.cpp:246-253)
         self.accumulator = self.accumulator + (

@@ -49,12 +49,11 @@ def build_emissive_cdf(tri_areas: np.ndarray, emissive_mask: np.ndarray) -> Emis
         areas=jnp.asarray(areas), total_area=jnp.asarray(total, jnp.float32))
 
 
-def pick_triangle(key: jax.Array, lights: EmissiveCDF, shape):
+def pick_triangle_from_uniform(u, lights: EmissiveCDF):
     """Sample light-triangle indices ~ area (reference TriangleCDF::getTriangle).
 
     Returns (scene_tri_idx, prob) with prob = area_i / total_area.
     """
-    u = jax.random.uniform(key, shape)
     # std::lower_bound(first ge u) == searchsorted side='left'
     k = jnp.searchsorted(lights.cdf, u, side="left")
     k = jnp.clip(k, 0, lights.count - 1)
@@ -62,17 +61,22 @@ def pick_triangle(key: jax.Array, lights: EmissiveCDF, shape):
     return lights.tri_idx[k], prob
 
 
-def sample_light_point(key: jax.Array, scene, shape):
-    """Pick an emissive triangle + a uniform point on it.
+def pick_triangle(key: jax.Array, lights: EmissiveCDF, shape):
+    return pick_triangle_from_uniform(jax.random.uniform(key, shape), lights)
+
+
+def light_point_from_uniforms(u3, scene):
+    """Pick an emissive triangle + a uniform point on it from (..., 3)
+    uniforms [cdf pick, r1, r2].
 
     Returns dict with point, normal (interpolated, normalized), L_i
     (material emission), pdf_area (== 1/total_area), and the scene
     triangle index. Mirrors areaSampleLight's light-side math
     (pg/ReSTIRIntegrator.cpp:89-122).
     """
-    k_tri, k_bar = jax.random.split(key)
-    tri, _prob = pick_triangle(k_tri, scene.lights, shape)
-    w = sampling.sample_triangle_barycentrics(k_bar, shape)  # (..., 3)
+    shape = u3.shape[:-1]
+    tri, _prob = pick_triangle_from_uniform(u3[..., 0], scene.lights)
+    w = sampling.triangle_barycentrics_from_uniforms(u3[..., 1:3])  # (..., 3)
     v = scene.tri_v[tri]          # (..., 3 verts, 3)
     n = scene.vtx_normal[tri]     # (..., 3 verts, 3)
     point = jnp.sum(v * w[..., :, None], axis=-2)
@@ -81,6 +85,12 @@ def sample_light_point(key: jax.Array, scene, shape):
     pdf_area = jnp.broadcast_to(1.0 / scene.lights.total_area, shape)
     return dict(point=point, normal=normal, l_i=l_i, pdf_area=pdf_area,
                 tri=tri)
+
+
+def sample_light_point(key: jax.Array, scene, shape):
+    """Key-based wrapper around light_point_from_uniforms."""
+    return light_point_from_uniforms(jax.random.uniform(key, shape + (3,)),
+                                     scene)
 
 
 def pdf_for_any_light_point(scene, shape):

@@ -35,6 +35,11 @@ class SceneArrays(struct.PyTreeNode):
     tri_mat: jnp.ndarray      # (N,) int32
     materials: MaterialTable
     lights: EmissiveCDF
+    # intersection acceleration
+    woop: Optional[jnp.ndarray] = None          # (N, 3, 4) MXU affine maps
+    cluster_min: Optional[jnp.ndarray] = None   # (C, 3) Morton-cluster AABBs
+    cluster_max: Optional[jnp.ndarray] = None   # (C, 3)
+    cluster_size: int = struct.field(pytree_node=False, default=0)
     # optional resources
     textures: Optional[jnp.ndarray] = None  # (T, TH, TW, 3) float32 stack
     envmap: Optional[jnp.ndarray] = None    # (He, We, 3) float32 equirect
@@ -56,9 +61,28 @@ def build_scene(
     vertex_tangents: Optional[np.ndarray] = None,  # (N, 3, 3)
     textures: Optional[np.ndarray] = None,
     envmap: Optional[np.ndarray] = None,
+    cluster_size: int = 128,
 ) -> SceneArrays:
     v = np.asarray(vertices, np.float32)
     n_tris = v.shape[0]
+
+    # Morton-cluster the triangles and permute everything cluster-major so
+    # hit indices need no indirection (tpu_restir.accel.bvh).
+    cluster_min = cluster_max = None
+    if n_tris > cluster_size:
+        from tpu_restir.accel.bvh import build_clusters
+
+        cl = build_clusters(v, cluster_size)
+        perm = cl.order
+        v = v[perm]
+        material_ids = np.asarray(material_ids)[perm]
+        if vertex_normals is not None:
+            vertex_normals = np.asarray(vertex_normals)[perm]
+        if vertex_uvs is not None:
+            vertex_uvs = np.asarray(vertex_uvs)[perm]
+        if vertex_tangents is not None:
+            vertex_tangents = np.asarray(vertex_tangents)[perm]
+        cluster_min, cluster_max = cl.cluster_min, cl.cluster_max
     e1 = v[:, 1] - v[:, 0]
     e2 = v[:, 2] - v[:, 0]
     areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
@@ -73,6 +97,8 @@ def build_scene(
     if vertex_tangents is None:
         t = e1 / np.maximum(np.linalg.norm(e1, axis=-1, keepdims=True), 1e-20)
         vertex_tangents = np.repeat(t[:, None, :], 3, axis=1)
+
+    from tpu_restir.kernels.woop import build_woop_matrices
 
     mat_ids = np.asarray(material_ids, np.int32)
     table = build_material_table(specs)
@@ -93,6 +119,12 @@ def build_scene(
         tri_mat=jnp.asarray(mat_ids),
         materials=table,
         lights=lights,
+        woop=jnp.asarray(build_woop_matrices(v)),
+        cluster_min=jnp.asarray(cluster_min) if cluster_min is not None
+        else None,
+        cluster_max=jnp.asarray(cluster_max) if cluster_max is not None
+        else None,
+        cluster_size=cluster_size if cluster_min is not None else 0,
         textures=jnp.asarray(textures) if textures is not None else None,
         envmap=jnp.asarray(envmap) if envmap is not None else None,
     )
