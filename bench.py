@@ -66,10 +66,18 @@ def main():
     state = init_restir_state(HEIGHT, WIDTH)
     step = jax.jit(restir_step, static_argnames=("cfg",))
 
-    # warmup / compile
-    frame, state = step(scene, cam, cfg, rng.make_frame_seed(0, 0), state,
-                        jnp.asarray(0))
-    jax.block_until_ready(frame)
+    # warmup / compile (retry once: the tunneled TPU backend occasionally
+    # throws a transient FAILED_PRECONDITION during the first lowering)
+    for attempt in range(2):
+        try:
+            frame, state = step(scene, cam, cfg, rng.make_frame_seed(0, 0),
+                                state, jnp.asarray(0))
+            jax.block_until_ready(frame)
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(5.0)
 
     t0 = time.perf_counter()
     for f in range(1, N_FRAMES + 1):

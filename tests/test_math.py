@@ -57,9 +57,11 @@ def test_ibeta_against_scipy():
 
 
 def test_calc_i_m_white_furnace():
-    """I_M is the directional-hemispherical integral of the normalized
-    cosine lobe: integral over the hemisphere of max(0, wi.wr)^n must
-    equal I_M (Mallett-Yuksel). Check by Monte Carlo."""
+    """I_M is the energy-normalization integral of the clipped Phong lobe
+    INCLUDING the projection cosine (Mallett-Yuksel normalize
+    f_r cos(theta)): I_M = integral over the upper hemisphere of
+    max(0, wi.wr)^n * (wi.n). Sanity anchor: at normal incidence this is
+    2*pi/(n+2). Check by Monte Carlo."""
     rng = np.random.default_rng(1)
     n_dir = np.array([0.0, 0.0, 1.0], np.float32)
     for shin in [1.0, 8.0, 64.0]:
@@ -67,15 +69,17 @@ def test_calc_i_m_white_furnace():
             sin_v = np.sqrt(1 - cos_v**2)
             v = np.array([sin_v, 0.0, cos_v], np.float32)  # view dir
             wr = 2 * np.dot(v, n_dir) * n_dir - v  # mirror of v around n
-            # MC integrate lobe over upper hemisphere
-            m = 200000
+            m = 400000
             xyz = rng.normal(size=(m, 3))
             xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
             xyz[:, 2] = np.abs(xyz[:, 2])
-            lobe = np.maximum(xyz @ wr, 0.0) ** shin
+            lobe = np.maximum(xyz @ wr, 0.0) ** shin * xyz[:, 2]
             integral = lobe.mean() * 2 * np.pi
             i_m = float(calc_i_m(jnp.float32(cos_v), jnp.float32(shin)))
-            assert np.isclose(integral, i_m, rtol=0.05), (shin, cos_v)
+            assert np.isclose(integral, i_m, rtol=0.05), \
+                (shin, cos_v, integral, i_m)
+    assert np.isclose(float(calc_i_m(jnp.float32(1.0), jnp.float32(1.0))),
+                      2 * np.pi / 3, rtol=1e-4)
 
 
 def test_power_heuristic():

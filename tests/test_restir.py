@@ -33,7 +33,10 @@ def setup():
 
 
 def _nee_mean(scene, cfg, cam, strategy, frames=N_FRAMES):
-    cfg = cfg.replace(integrator="nee", direct_strategy=strategy)
+    # ReSTIR renders DIRECT illumination only (+ directly-viewed
+    # emitters), so the cross-integrator oracle is NEE with GI disabled.
+    cfg = cfg.replace(integrator="nee", direct_strategy=strategy,
+                      nee_calc_gi=False)
     fn = jax.jit(render_nee, static_argnames=("cfg",))
     acc = jnp.zeros((SIZE, SIZE, 3))
     for f in range(frames):

@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_restir import rng
+from tpu_restir.config import CameraConfig, RenderConfig, RenderParams
+from tpu_restir.render import camera as cam_mod
+from tpu_restir.render.integrators.restir.gbuffer import gbuffer_fill
+from tpu_restir.scene.materials import MaterialSpec, MatType
+from tpu_restir.scene.scene import build_scene
+from tpu_restir.scene.textures import sample_bilinear, sample_stack
+
+
+def test_sample_bilinear_interp():
+    img = jnp.asarray(np.array([[[0, 0, 0], [1, 1, 1]],
+                                [[1, 1, 1], [0, 0, 0]]], np.float32))
+    # center of the image: average of the four corners = 0.5
+    c = sample_bilinear(img, jnp.array([[0.5, 0.5]]))
+    assert np.allclose(np.asarray(c), 0.5, atol=1e-5)
+    # v=1 maps to the top row (y flip)
+    tl = sample_bilinear(img, jnp.array([[0.0, 1.0]]))
+    assert np.allclose(np.asarray(tl), 0.0, atol=1e-5)
+
+
+def test_sample_stack_fallback():
+    stack = jnp.ones((1, 4, 4, 3))
+    fallback = jnp.full((2, 3), 0.25)
+    uv = jnp.zeros((2, 2))
+    out = sample_stack(stack, jnp.array([0, -1]), uv, fallback)
+    assert np.allclose(np.asarray(out[0]), 1.0)
+    assert np.allclose(np.asarray(out[1]), 0.25)
+
+
+def _textured_quad_scene():
+    # one quad facing -y, with a 2-tone diffuse texture: left half dark,
+    # right half bright
+    tris = np.array([
+        [[-1, 1, -1], [1, 1, -1], [1, 1, 1]],
+        [[-1, 1, -1], [1, 1, 1], [-1, 1, 1]],
+    ], np.float32)
+    uvs = np.array([
+        [[0, 0], [1, 0], [1, 1]],
+        [[0, 0], [1, 1], [0, 1]],
+    ], np.float32)
+    tex = np.zeros((1, 8, 8, 3), np.float32)
+    tex[0, :, 4:] = 0.9
+    tex[0, :, :4] = 0.1
+    specs = [MaterialSpec("tex", MatType.LAMBERT, diffuse=(0.5, 0.5, 0.5),
+                          tex_diffuse=0)]
+    return build_scene(tris, np.array([0, 0]), specs, vertex_uvs=uvs,
+                       textures=tex)
+
+
+def test_gbuffer_picks_up_texture():
+    scene = _textured_quad_scene()
+    ccfg = CameraConfig(width=16, height=16, view_from=(0, -2, 0),
+                        view_at=(0, 0, 0), fov_y_deg=60.0)
+    cfg = RenderConfig(camera=ccfg, params=RenderParams(use_skybox=False),
+                       integrator="restir")
+    cam = cam_mod.make_camera(ccfg)
+    ys, xs = jnp.meshgrid(jnp.arange(16), jnp.arange(16), indexing="ij")
+    gb = gbuffer_fill(scene, cam, cfg, rng.make_frame_seed(0, 0), ys, xs)
+    d = np.asarray(gb.diffuse)
+    hit = np.asarray(gb.depth) > 0
+    assert hit[8, 2] and hit[8, 13]
+    # left side of the screen sees u near 0 -> dark; right side bright
+    assert d[8, 2, 0] < 0.3
+    assert d[8, 13, 0] > 0.7

@@ -65,6 +65,17 @@ class Clusters:
 
 
 def build_clusters(tri_v: np.ndarray, cluster_size: int = 128) -> Clusters:
+    # native C++ builder when the toolchain is available
+    from tpu_restir.accel import native
+
+    nat = native.build_clusters_native(np.asarray(tri_v, np.float32),
+                                       cluster_size)
+    if nat is not None:
+        order, cmin, cmax = nat
+        return Clusters(order=order, cluster_min=cmin, cluster_max=cmax,
+                        cluster_size=cluster_size,
+                        n_tris=np.asarray(tri_v).shape[0])
+
     v = np.asarray(tri_v, np.float64)
     n = v.shape[0]
     centroids = v.mean(axis=1)
@@ -103,6 +114,13 @@ class BVH2:
 
 def build_bvh2(tri_v: np.ndarray, leaf_size: int = 4,
                n_bins: int = 16) -> BVH2:
+    from tpu_restir.accel import native
+
+    nat = native.build_bvh2_native(np.asarray(tri_v, np.float32), leaf_size,
+                                   n_bins)
+    if nat is not None:
+        return BVH2(**nat)
+
     v = np.asarray(tri_v, np.float64)
     n = v.shape[0]
     tmin = v.min(axis=1)

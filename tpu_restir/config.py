@@ -104,9 +104,9 @@ class CameraConfig:
 class IntersectorConfig:
     """Ray-scene intersection backend selection and tiling knobs."""
 
-    backend: str = "auto"  # "brute" | "woop_mxu" | "bvh" | "auto"
-    ray_chunk: int = 16384     # rays per lax.map chunk
-    tri_block: int = 2048      # triangles per scan block (brute force)
+    backend: str = "auto"  # "brute" | "woop_mxu" | "cluster" | "auto"
+    ray_chunk: int = 1 << 18   # rays per lax.map chunk (tuned on v5e)
+    tri_block: int = 2048      # triangles per scan block
 
 
 @dataclass(frozen=True)

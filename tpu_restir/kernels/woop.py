@@ -75,6 +75,11 @@ def intersect_block(o, d, w_packed, tnear, tfar):
     t = jnp.where(jnp.abs(dw) > 1e-18, -op[..., 2] / dw, _INF)
     u = op[..., 0] + t * dp[..., 0]
     v = op[..., 1] + t * dp[..., 1]
-    ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & jnp.isfinite(t) \
-        & (t >= tnear[:, None]) & (t <= tfar[:, None])
+    # small barycentric slack for watertightness: rays exactly on shared
+    # edges (e.g. pixel-corner rays through quad diagonals) must not slip
+    # between both triangles after f32 rounding; duplicates resolve by
+    # closest-t.
+    eps = 1e-5
+    ok = (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps) \
+        & jnp.isfinite(t) & (t >= tnear[:, None]) & (t <= tfar[:, None])
     return t, u, v, ok

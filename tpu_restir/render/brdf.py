@@ -58,14 +58,15 @@ def _phong_reflectances(m, n, d):
     return d_refl, s_refl
 
 
-def _phong_eval(d_refl, s_refl, shininess, n, d, omega_i):
+def _phong_eval(d_refl, s_refl, shininess, n, d, omega_i, inv_i_m=None):
     """diffuse/pi + spec * (1/I_M) * max(wi.wr, 0)^shininess
-    (pg/MaterialPhong.cpp:69-92)."""
+    (pg/MaterialPhong.cpp:69-92). inv_i_m: precomputed 1/I_M (the
+    G-buffer caches it per frame since N.V is fixed there)."""
     omega_r = mathx.normalize(mathx.reflect(d, n))
-    n_dot_v = mathx.dot(-d, n)
-    i_m = 1.0 / calc_i_m(n_dot_v, shininess)
+    if inv_i_m is None:
+        inv_i_m = 1.0 / calc_i_m(mathx.dot(-d, n), shininess)
     lobe = jnp.power(jnp.maximum(mathx.dot(omega_i, omega_r), 0.0), shininess)
-    return d_refl * _INV_PI + s_refl * (i_m * lobe)[..., None]
+    return d_refl * _INV_PI + s_refl * (inv_i_m * lobe)[..., None]
 
 
 def _phong_pdf(d_refl, s_refl, shininess, n, d, omega_i):
@@ -81,7 +82,7 @@ def _phong_pdf(d_refl, s_refl, shininess, n, d, omega_i):
     return pdf
 
 
-def _phong_sample_u(u5, d_refl, s_refl, shininess, n, d):
+def _phong_sample_u(u5, d_refl, s_refl, shininess, n, d, inv_i_m=None):
     """Lobe-pick + sample + combined pdf (pg/MaterialPhong.cpp:18-67).
     u5: (..., 5) uniforms [lobe pick, diff r1, diff r2, spec r1, spec r2]."""
     max_d = mathx.max_component(d_refl)
@@ -96,11 +97,11 @@ def _phong_sample_u(u5, d_refl, s_refl, shininess, n, d):
                                               shininess)
     omega_i = jnp.where(diffuse_branch[..., None], wi_d, wi_s)
 
-    n_dot_v = mathx.dot(-d, n)
-    i_m = 1.0 / calc_i_m(n_dot_v, shininess)
+    if inv_i_m is None:
+        inv_i_m = 1.0 / calc_i_m(mathx.dot(-d, n), shininess)
     lobe = jnp.power(jnp.maximum(mathx.dot(omega_i, omega_r), 0.0), shininess)
     f_d = d_refl * _INV_PI
-    f_s = s_refl * (i_m * lobe)[..., None]
+    f_s = s_refl * (inv_i_m * lobe)[..., None]
     f_r = jnp.where(diffuse_branch[..., None], f_d, f_s)
 
     pdf_factor = max_d / total
@@ -258,7 +259,8 @@ def gbuf_eval_brdf(gb, omega_i):
     v = mathx.normalize(gb.cam_pos - gb.pos)
     d = -v
     f_phong = _phong_eval(gb.diffuse, gb.specular, gb.shininess,
-                          gb.normal, d, omega_i)
+                          gb.normal, d, omega_i,
+                          inv_i_m=getattr(gb, "inv_i_m", None))
     f_lam = gb.diffuse * _INV_PI
     return jnp.where((gb.mat_type == MatType.LAMBERT)[..., None],
                      f_lam, f_phong)
@@ -277,7 +279,8 @@ def gbuf_sample_brdf_u(u5, gb):
     u5: (..., 5) uniforms; the Lambert branch reuses the diffuse pair."""
     d = mathx.normalize(gb.pos - gb.cam_pos)
     wi_p, f_p, pdf_p, vt_p = _phong_sample_u(
-        u5, gb.diffuse, gb.specular, gb.shininess, gb.normal, d)
+        u5, gb.diffuse, gb.specular, gb.shininess, gb.normal, d,
+        inv_i_m=getattr(gb, "inv_i_m", None))
     wi_l = sampling.cosine_hemisphere_from_uniforms(u5[..., 1:3], gb.normal)
     f_l = gb.diffuse * _INV_PI
     pdf_l = sampling.pdf_cosine_hemisphere(gb.normal, wi_l)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from tpu_restir import mathx, rng
 from tpu_restir.render import brdf, camera as cam_mod, intersect
 from tpu_restir.scene.envmap import sky_radiance
-from tpu_restir.scene.materials import gather_materials
+from tpu_restir.scene.materials import (apply_normal_map, apply_textures,
+                                        gather_materials)
 
 
 def render_naive(scene, cam, cfg, key) -> jnp.ndarray:
@@ -35,6 +36,9 @@ def render_naive(scene, cam, cfg, key) -> jnp.ndarray:
             scene, o, d, p.tnear_offset, jnp.inf, cfg.intersector)
         hi = intersect.hit_attributes(scene, o, d, hit)
         m = gather_materials(scene.materials, hi.mat_id)
+        m = apply_textures(scene, m, hi.uv)
+        hi = hi.replace(normal=apply_normal_map(scene, m, hi.normal,
+                                                hi.tangent, hi.uv))
 
         # miss -> skybox / background (pg/NaivePathIntegrator.cpp:61)
         sky = sky_radiance(scene, p, d)

@@ -16,7 +16,8 @@ from flax import struct
 from tpu_restir import mathx
 from tpu_restir.render import camera as cam_mod, intersect
 from tpu_restir.scene.envmap import sky_radiance
-from tpu_restir.scene.materials import gather_materials
+from tpu_restir.scene.materials import (apply_normal_map, apply_textures,
+                                        gather_materials)
 
 
 class GBuffer(struct.PyTreeNode):
@@ -28,6 +29,11 @@ class GBuffer(struct.PyTreeNode):
     shininess: jnp.ndarray  # (...,)
     depth: jnp.ndarray      # (...,)
     mat_type: jnp.ndarray   # (...,) int32
+    # cached 1/I_M (Mallett-Yuksel Phong normalization) for the camera
+    # view direction: it depends only on (N.V, shininess), both frozen at
+    # G-buffer fill, so the iterative incomplete-beta evaluation runs once
+    # per frame instead of once per p_hat evaluation.
+    inv_i_m: jnp.ndarray    # (...,)
     # camera snapshot
     cam_pos: jnp.ndarray    # (3,)
     view_mat: jnp.ndarray   # (4, 4)
@@ -46,7 +52,8 @@ def gather(gb: GBuffer, ys: jnp.ndarray, xs: jnp.ndarray) -> GBuffer:
         pos=gb.pos[ys, xs], normal=gb.normal[ys, xs],
         diffuse=gb.diffuse[ys, xs], specular=gb.specular[ys, xs],
         emission=gb.emission[ys, xs], shininess=gb.shininess[ys, xs],
-        depth=gb.depth[ys, xs], mat_type=gb.mat_type[ys, xs])
+        depth=gb.depth[ys, xs], mat_type=gb.mat_type[ys, xs],
+        inv_i_m=gb.inv_i_m[ys, xs])
     return GBuffer(cam_pos=gb.cam_pos, view_mat=gb.view_mat, focal=gb.focal,
                    **pixel_fields)
 
@@ -57,6 +64,7 @@ def empty_gbuffer(h: int, w: int) -> GBuffer:
         diffuse=jnp.zeros((h, w, 3)), specular=jnp.zeros((h, w, 3)),
         emission=jnp.zeros((h, w, 3)), shininess=jnp.zeros((h, w)),
         depth=jnp.zeros((h, w)), mat_type=jnp.zeros((h, w), jnp.int32),
+        inv_i_m=jnp.ones((h, w)),
         cam_pos=jnp.zeros((3,)), view_mat=jnp.eye(4), focal=jnp.zeros(()))
 
 
@@ -72,7 +80,16 @@ def gbuffer_fill(scene, cam, cfg, frame_seed, ys, xs) -> GBuffer:
                                       cfg.intersector)
     hi = intersect.hit_attributes(scene, o, d, hit)
     m = gather_materials(scene.materials, hi.mat_id)
+    m = apply_textures(scene, m, hi.uv)
+    hi = hi.replace(normal=apply_normal_map(scene, m, hi.normal,
+                                            hi.tangent, hi.uv))
     sky = sky_radiance(scene, p, d)
+
+    from tpu_restir import mathx
+    from tpu_restir.mathx.special import calc_i_m
+
+    n_dot_v = mathx.dot(mathx.normalize(cam.pos - hi.point), hi.normal)
+    inv_i_m = 1.0 / calc_i_m(n_dot_v, m.shininess)
 
     h3 = hi.did_hit[..., None]
     return GBuffer(
@@ -84,4 +101,5 @@ def gbuffer_fill(scene, cam, cfg, frame_seed, ys, xs) -> GBuffer:
         shininess=jnp.where(hi.did_hit, m.shininess, 0.0),
         depth=jnp.where(hi.did_hit, hi.dst, 0.0),
         mat_type=jnp.where(hi.did_hit, m.mat_type, 0),
+        inv_i_m=jnp.where(hi.did_hit, inv_i_m, 1.0),
         cam_pos=cam.pos, view_mat=cam.view_mat, focal=cam.focal)

@@ -87,7 +87,7 @@ def restir_step(scene, cam, cfg, frame_seed, state: RestirState, frame_ctr,
                 dict(pos=tree.pos, normal=tree.normal, diffuse=tree.diffuse,
                      specular=tree.specular, emission=tree.emission,
                      shininess=tree.shininess, depth=tree.depth,
-                     mat_type=tree.mat_type))
+                     mat_type=tree.mat_type, inv_i_m=tree.inv_i_m))
             return gb_mod.GBuffer(**ext, cam_pos=tree.cam_pos,
                                   view_mat=tree.view_mat, focal=tree.focal)
         return ext_fields(tree)

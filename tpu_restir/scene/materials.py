@@ -121,3 +121,46 @@ def gather_materials(table: MaterialTable, mat_id: jnp.ndarray):
         reflectivity=table.reflectivity[i],
         mat_type=table.mat_type[i], tex_index=table.tex_index[i],
     )
+
+
+def apply_textures(scene, m: MaterialTable, uv: jnp.ndarray) -> MaterialTable:
+    """Texture-backed material values at hit UVs: diffuse/specular texels
+    replace the flat colors, and the shininess slot stores roughness
+    converted via s = 2/r^2 - 2 (reference Material::getDiffuseColor/
+    getSpecularColor/getShininess, pg/material.cpp:105-133)."""
+    if scene.textures is None:
+        return m
+    from tpu_restir.scene.textures import sample_stack
+
+    diffuse = sample_stack(scene.textures, m.tex_index[..., 0], uv,
+                           m.diffuse)
+    specular = sample_stack(scene.textures, m.tex_index[..., 1], uv,
+                            m.specular)
+    rough = sample_stack(scene.textures, m.tex_index[..., 2], uv,
+                         jnp.zeros_like(m.diffuse))[..., 0]
+    shin_from_tex = 2.0 / jnp.maximum(rough * rough, 1e-6) - 2.0
+    shininess = jnp.where(m.tex_index[..., 2] >= 0, shin_from_tex,
+                          m.shininess)
+    return m.replace(diffuse=diffuse, specular=specular, shininess=shininess)
+
+
+def apply_normal_map(scene, m: MaterialTable, normal, tangent, uv):
+    """Tangent-space normal mapping (reference Intersection.h:26-39):
+    orthogonalize the tangent against the shading normal, build TBN, and
+    replace the normal where a normal map is assigned."""
+    if scene.textures is None:
+        return normal
+    from tpu_restir import mathx
+    from tpu_restir.scene.textures import sample_stack
+
+    has_map = m.tex_index[..., 3] >= 0
+    texel = sample_stack(scene.textures, m.tex_index[..., 3], uv,
+                         jnp.broadcast_to(jnp.asarray([0.5, 0.5, 1.0]),
+                                          normal.shape))
+    n_ts = texel * 2.0 - 1.0
+    t = tangent - mathx.dot1(tangent, normal) * normal
+    t = mathx.normalize(t)
+    b = mathx.normalize(jnp.cross(normal, t))
+    mapped = (n_ts[..., 0:1] * t + n_ts[..., 1:2] * b
+              + n_ts[..., 2:3] * normal)
+    return jnp.where(has_map[..., None], mapped, normal)
