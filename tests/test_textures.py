@@ -62,7 +62,9 @@ def test_gbuffer_picks_up_texture():
     gb = gbuffer_fill(scene, cam, cfg, rng.make_frame_seed(0, 0), ys, xs)
     d = np.asarray(gb.diffuse)
     hit = np.asarray(gb.depth) > 0
-    assert hit[8, 2] and hit[8, 13]
+    # at fov_y 60 the +-1 quad covers columns ~4..12 (half-extent at the
+    # quad plane is 3*tan(30deg) ~= 1.73 world units)
+    assert hit[8, 5] and hit[8, 11]
     # left side of the screen sees u near 0 -> dark; right side bright
-    assert d[8, 2, 0] < 0.3
-    assert d[8, 13, 0] > 0.7
+    assert d[8, 5, 0] < 0.3
+    assert d[8, 11, 0] > 0.7
