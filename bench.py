@@ -72,18 +72,21 @@ def main():
         try:
             frame, state = step(scene, cam, cfg, rng.make_frame_seed(0, 0),
                                 state, jnp.asarray(0))
-            jax.block_until_ready(frame)
+            float(jnp.sum(frame))
             break
         except Exception:
             if attempt == 1:
                 raise
             time.sleep(5.0)
 
+    # NOTE: sync via a scalar fetch per frame — on the tunneled backend
+    # jax.block_until_ready returns before device work completes, so a
+    # block-based timer reports dispatch time, not compute time.
     t0 = time.perf_counter()
     for f in range(1, N_FRAMES + 1):
         frame, state = step(scene, cam, cfg, rng.make_frame_seed(0, f),
                             state, jnp.asarray(f))
-    jax.block_until_ready(frame)
+        float(jnp.sum(frame))
     dt = time.perf_counter() - t0
 
     rays = rays_per_pixel(cfg) * WIDTH * HEIGHT * N_FRAMES

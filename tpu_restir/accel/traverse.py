@@ -18,7 +18,7 @@ from flax import struct
 
 from tpu_restir.accel.bvh import BVH2, build_bvh2
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)  # np scalar: no device op at import time
 
 
 class BVHArrays(struct.PyTreeNode):

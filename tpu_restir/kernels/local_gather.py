@@ -1,0 +1,124 @@
+"""Pallas TPU kernel: bounded-radius per-pixel gather (neighbor taps).
+
+ReSTIR spatial reuse reads, for every pixel, K neighbor payload rows at
+per-pixel random offsets bounded by the reuse radius
+(pg/ReSTIRIntegrator.cpp:334-341 picks disk neighbors of radius
+sqrt(spatialReuseRadius) after the reference's r = sqrt(U(0,R)) quirk).
+XLA lowers that to a generic gather that moves ~one element per cycle —
+at 1080p x 5 taps x 32 channels that single op dominates the whole frame.
+
+This kernel exploits the static offset bound R:
+  * pad the image by PAD px so every tile's halo window exists and all
+    in-window slice offsets are static (Mosaic requirement);
+  * grid over (BR, BC) output tiles; DMA ONE (C, BR+2PAD, BC+128) halo
+    window from HBM into VMEM per tile (channels-first so the lane
+    dimension is image columns); all K taps share the fetch;
+  * resolve X in-register with per-lane dynamic gathers
+    (jnp.take_along_axis on one 128-lane vreg, twice + select because
+    the 2R-wide source straddles two vregs), then select the row with
+    2R+1 masked selects — dense VPU work, no HBM gather traffic;
+  * per-tap lane indices/masks are hoisted out of the channel loop, and
+    channels run under fori_loop so the unrolled kernel body stays small.
+
+Offsets must be pre-clamped to the screen so every target lands inside
+the window (the caller derives them from clamped absolute coordinates).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BR = 8     # output tile rows  (f32 sublane tile)
+BC = 128   # output tile cols  (lane tile)
+PAD = 8    # image padding == max supported offset radius
+
+
+def _kernel(dy_ref, dx_ref, payload_hbm, out_ref, win, sem, *, r, k_taps,
+            c_ch):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    wr = BR + 2 * PAD          # 24 rows: multiple of the 8-sublane tile
+    wc = BC + 128              # 256 cols: lane-tiling-aligned DMA slice
+
+    # window [i*BR, i*BR + wr) x [j*BC, j*BC + wc) in PADDED coordinates
+    # covers all targets: padded target = out pixel + PAD + offset with
+    # |offset| <= r <= PAD, and the x padding is (PAD left, 128-PAD
+    # right) so the window's lane start/extent stay 128-aligned
+    dma = pltpu.make_async_copy(
+        payload_hbm.at[:, pl.ds(i * BR, wr), pl.ds(j * BC, wc)], win, sem)
+    dma.start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BR, BC), 1)
+    dma.wait()
+
+    for k in range(k_taps):
+        dy = dy_ref[k]                                # (BR, BC) in [-r, r]
+        dx = dx_ref[k]
+        # X-resolution lane indices: target window col = lane + PAD + dx.
+        # The 2r-wide source range straddles the two 128-lane vregs of a
+        # window row; gather from both and select.
+        tcol = lane + (PAD + dx)
+        in_a = tcol < 128
+        ia = jnp.clip(tcol, 0, 127)
+        ib = jnp.clip(tcol - 128, 0, 127)
+
+        def body(c, _):
+            for sy in range(2 * r + 1):
+                rs = PAD - r + sy                     # static row offset
+                a = win[c, rs:rs + BR, 0:128]
+                b = win[c, rs:rs + BR, 128:256]
+                g = jnp.where(in_a, jnp.take_along_axis(a, ia, axis=1),
+                              jnp.take_along_axis(b, ib, axis=1))
+                pltpu.store(out_ref.at[k, c],
+                            g, mask=dy == (sy - r))
+            return _
+
+        jax.lax.fori_loop(0, c_ch, body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def gather_local(payload: jnp.ndarray, tys: jnp.ndarray, txs: jnp.ndarray,
+                 r: int) -> jnp.ndarray:
+    """payload (H, W, C) f32, absolute tap coords tys/txs (K, H, W) int32
+    with |tap - pixel| <= r <= PAD (pre-clamped to the screen).
+    Returns (K, H, W, C) f32: payload[tys, txs, :].
+    """
+    h, w, c = payload.shape
+    k = tys.shape[0]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
+    dy = tys - ys
+    dx = txs - xs
+
+    pcf = jnp.transpose(payload, (2, 0, 1))          # (C, H, W)
+    pcf = jnp.pad(pcf, ((0, 0), (PAD, PAD), (PAD, 128 - PAD)))
+    grid = (h // BR, w // BC)
+    out = pl.pallas_call(
+        functools.partial(_kernel, r=r, k_taps=k, c_ch=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, BR, BC), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, BR, BC), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((k, c, BR, BC), lambda i, j: (0, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, c, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, BR + 2 * PAD, BC + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(dy, dx, pcf)
+    return jnp.transpose(out, (0, 2, 3, 1))          # (K, H, W, C)
+
+
+def supports(h: int, w: int, r: int) -> bool:
+    """Kernel applicability: tile-aligned image, offsets within PAD."""
+    return r <= PAD and h % BR == 0 and w % BC == 0

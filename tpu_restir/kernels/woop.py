@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)  # np scalar: no device op at import time
 
 
 def build_woop_matrices(tri_v: np.ndarray) -> np.ndarray:

@@ -9,11 +9,16 @@ whole shading path stays jittable and differentiable.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 from jax.scipy.special import betainc, gammaln
 
-_TWO_PI = 2.0 * jnp.pi
-_ROOT_PI = jnp.sqrt(jnp.pi)
+# plain floats: a jnp op here would initialize the JAX backend at import
+# time, locking the platform before callers (e.g. the multi-chip dry run)
+# can configure it
+_TWO_PI = 2.0 * math.pi
+_ROOT_PI = math.sqrt(math.pi)
 
 
 def ibeta_nonnorm(x, a, b):

@@ -27,6 +27,7 @@ from tpu_restir.config import SpatialMis
 from tpu_restir.dist.halo import local_row
 from tpu_restir.render import intersect
 from tpu_restir.render.integrators.restir import gbuffer as gb_mod
+from tpu_restir.render.integrators.restir import packed as pk
 from tpu_restir.render.integrators.restir import reservoir as rsv
 from tpu_restir.render.integrators.restir.phat import evaluate_p_hat
 from tpu_restir.render.sampling import disk_from_uniforms
@@ -60,12 +61,29 @@ def spatial_pass(frame_seed, pass_idx: int, scene, gb: gb_mod.GBuffer,
         cand_gx.append(jnp.clip(xs + offi[..., 0], 0, w - 1))
         cand_gy.append(jnp.clip(ys + offi[..., 1], 0, h - 1))
 
-    gbs = []
-    ress = []
-    for i in range(n_cand):
-        ly = local_row(cand_gy[i], ext_row0, ext_h)
-        gbs.append(gb_mod.gather(gb_ext, ly, cand_gx[i]))
-        ress.append(rsv.gather(res_ext, ly, cand_gx[i]))
+    # one packed payload + ONE gather for all neighbor taps (candidate 0
+    # is the identity tap: use the center buffers directly). Single-chip
+    # tile-aligned images take the Pallas windowed-gather kernel (the
+    # offsets are bounded by sqrt(radius) — reference disk quirk,
+    # SURVEY.md §2.5); everything else falls back to an XLA row gather.
+    import math
+
+    from tpu_restir.kernels import local_gather as lg
+
+    payload = pk.pack_reuse(gb_ext, res_ext)          # (ext_h, w, 32)
+    tap_ys = jnp.stack([local_row(cand_gy[i], ext_row0, ext_h)
+                        for i in range(1, n_cand)])
+    tap_xs = jnp.stack(cand_gx[1:])
+    r_bound = int(math.floor(math.sqrt(max(r.spatial_reuse_radius, 0.0))))
+    if (gb_ext.depth.shape == gb.depth.shape
+            and lg.supports(h, w, r_bound)):
+        taps = lg.gather_local(payload, tap_ys, tap_xs, r_bound)
+    else:
+        taps = pk.gather_packed(payload, tap_ys, tap_xs)  # (K, h, w, 32)
+    gbs = [gb] + [pk.unpack_gb(taps[i - 1, ..., :pk.GB_CH], gb)
+                  for i in range(1, n_cand)]
+    ress = [res_in] + [pk.unpack_res(taps[i - 1, ..., pk.GB_CH:])
+                       for i in range(1, n_cand)]
 
     # candidate validity (pg/ReSTIRIntegrator.cpp:344-374)
     valid = [jnp.ones(shape, bool)]

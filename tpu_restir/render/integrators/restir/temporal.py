@@ -25,6 +25,7 @@ from tpu_restir import mathx, rng
 from tpu_restir.dist.halo import local_row
 from tpu_restir.render import camera as cam_mod
 from tpu_restir.render.integrators.restir import gbuffer as gb_mod
+from tpu_restir.render.integrators.restir import packed as pk
 from tpu_restir.render.integrators.restir import reservoir as rsv
 from tpu_restir.render.integrators.restir.phat import evaluate_p_hat
 
@@ -46,7 +47,8 @@ def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
         gb_prev.view_mat, gb_prev.focal, w, h, gb.pos)
     bxc = jnp.clip(bx, 0, w - 1)
     byc = local_row(jnp.clip(by, 0, h - 1), ext_row0, ext_h)
-    prev_elem = gb_mod.gather(gb_prev_ext, byc, bxc)
+    prev_elem = pk.unpack_gb(
+        pk.gather_packed(pk.pack_gb(gb_prev_ext), byc, bxc), gb_prev_ext)
 
     cur_depth = mathx.length(gb.pos - gb.cam_pos)
     prev_depth = mathx.length(prev_elem.pos - gb_prev.cam_pos)
@@ -61,7 +63,7 @@ def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
     fxc = jnp.clip(fx, 0, w - 1)
     fyc = local_row(jnp.clip(fy, 0, h - 1), ext_row0,
                     gb_ext.depth.shape[0])
-    fw_elem_pos = gb_ext.pos[fyc, fxc]
+    fw_elem_pos = pk.gather_packed(gb_ext.pos, fyc, fxc)
     cur_depth_p = mathx.length(prev_at_cur_pos - gb_prev.cam_pos)
     prev_depth_p = mathx.length(fw_elem_pos - gb.cam_pos)
     ratio_p = jnp.minimum(cur_depth_p, prev_depth_p) / jnp.maximum(

@@ -29,7 +29,7 @@ from flax import struct
 from tpu_restir import mathx
 from tpu_restir.config import IntersectorConfig
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)  # np scalar: no device op at import time
 _DET_EPS = 1e-18
 
 
@@ -69,6 +69,26 @@ def _mt_block(o, d, v0, e1, e2):
     return t, u, v, ok
 
 
+def _min_update(carry, t, u, v, ok, base):
+    """Fold a (C, B) block of candidate hits into the per-ray running-min
+    carry (t, u, v, tri) using pure reductions. An argmin + per-row index
+    would lower to an XLA gather, which is the slow path on TPU; min +
+    one-hot masked sums stay on the VPU and fuse with the producer."""
+    bt, bu, bv, btri = carry
+    tt = jnp.where(ok, t, _INF)
+    tmin = jnp.min(tt, axis=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+    jwin = jnp.min(jnp.where(tt <= tmin[:, None], iota, jnp.int32(1 << 30)),
+                   axis=1)
+    onehot = iota == jwin[:, None]
+    mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=1)
+    mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=1)
+    better = tmin < bt
+    return (jnp.where(better, tmin, bt), jnp.where(better, mu, bu),
+            jnp.where(better, mv, bv),
+            jnp.where(better, base + jwin, btri))
+
+
 def _pad_tris(scene, block: int):
     n = scene.tri_v0.shape[0]
     nb = -(-n // block)
@@ -97,18 +117,10 @@ def _closest_chunk(o, d, tnear, tfar, v0b, e1b, e2b):
             jnp.full((c,), -1, jnp.int32))
 
     def body(carry, blk):
-        bt, bu, bv, btri = carry
         v0, e1, e2, base = blk
         t, u, v, ok = _mt_block(o, d, v0, e1, e2)
         ok &= (t >= tnear[:, None]) & (t <= tfar[:, None])
-        tt = jnp.where(ok, t, _INF)
-        j = jnp.argmin(tt, axis=1)
-        rows = jnp.arange(c)
-        mt, mu, mv = tt[rows, j], u[rows, j], v[rows, j]
-        better = mt < bt
-        return (jnp.where(better, mt, bt), jnp.where(better, mu, bu),
-                jnp.where(better, mv, bv),
-                jnp.where(better, base + j.astype(jnp.int32), btri)), None
+        return _min_update(carry, t, u, v, ok, base), None
 
     nb = v0b.shape[0]
     bases = jnp.arange(nb, dtype=jnp.int32) * block
@@ -187,17 +199,9 @@ def _closest_chunk_woop(o, d, tnear, tfar, wb):
             jnp.full((c,), -1, jnp.int32))
 
     def body(carry, blk):
-        bt, bu, bv, btri = carry
         w_packed, base = blk
         t, u, v, ok = woop_block(o, d, w_packed, tnear, tfar)
-        tt = jnp.where(ok, t, _INF)
-        j = jnp.argmin(tt, axis=1)
-        rows = jnp.arange(c)
-        mt, mu, mv = tt[rows, j], u[rows, j], v[rows, j]
-        better = mt < bt
-        return (jnp.where(better, mt, bt), jnp.where(better, mu, bu),
-                jnp.where(better, mv, bv),
-                jnp.where(better, base + j.astype(jnp.int32), btri)), None
+        return _min_update(carry, t, u, v, ok, base), None
 
     nb = wb.shape[0]
     bases = jnp.arange(nb, dtype=jnp.int32) * block
@@ -253,16 +257,8 @@ def _closest_chunk_cluster(o, d, tnear, tfar, wb, cmin, cmax):
         w_packed, base, visit = blk
 
         def do(carry):
-            bt, bu, bv, btri = carry
             t, u, v, ok = woop_block(o, d, w_packed, tnear, tfar)
-            tt = jnp.where(ok, t, _INF)
-            j = jnp.argmin(tt, axis=1)
-            rows = jnp.arange(c)
-            mt, mu, mv = tt[rows, j], u[rows, j], v[rows, j]
-            better = mt < bt
-            return (jnp.where(better, mt, bt), jnp.where(better, mu, bu),
-                    jnp.where(better, mv, bv),
-                    jnp.where(better, base + j.astype(jnp.int32), btri))
+            return _min_update(carry, t, u, v, ok, base)
 
         return jax.lax.cond(visit, do, lambda x: x, carry), None
 
