@@ -16,6 +16,32 @@ from tpu_restir.mathx.special import calc_i_m, ibeta_nonnorm  # noqa: F401
 _EPS = 1e-30
 
 
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray,
+              mxu_max_rows: int = 1024) -> jnp.ndarray:
+    """Row select `table[idx]` for a SMALL f32 table, TPU-native.
+
+    XLA's gather moves ~one element per cycle on TPU, so selecting rows
+    of a tiny table (vertex attributes, material columns, light tables)
+    with millions of indices dominates whole passes. A one-hot matmul
+    puts the same select on the MXU: out = onehot(idx) @ table. With
+    HIGHEST precision the single non-zero per row makes the result
+    bit-exact (the bf16x6 product decomposition reconstructs 1.0 * v
+    exactly), so this is a drop-in replacement — for f32 payloads whose
+    magnitudes are normal floats (pack small ints as f32, not bitcasts).
+
+    table: (T, C) float32; idx: any integer shape -> idx.shape + (C,).
+    Falls back to a plain gather for large tables.
+    """
+    t, _c = table.shape
+    if t > mxu_max_rows:
+        return table[idx]
+    flat = idx.reshape(-1)
+    onehot = (flat[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :])
+    out = jnp.dot(onehot.astype(jnp.float32), table,
+                  precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(idx.shape + table.shape[-1:])
+
+
 def dot(a, b):
     """Batched 3-vector dot product -> (...,)."""
     return jnp.sum(a * b, axis=-1)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import betainc, gammaln
 
@@ -27,8 +28,12 @@ def ibeta_nonnorm(x, a, b):
     Equivalent of boost::math::beta(a, b, x) used at
     pg/MaterialPhong.cpp:246-248. a, b > 0; x in [0, 1].
     """
-    a = jnp.asarray(a, jnp.float32)
-    b = jnp.asarray(b, jnp.float32)
+    # detach the shape parameters: jax.scipy betainc has no a/b gradient,
+    # and the normalization's derivative w.r.t. shininess is dropped by
+    # design (detached-estimator convention — only the x path, which is
+    # geometry-independent here, would carry it anyway)
+    a = jax.lax.stop_gradient(jnp.asarray(a, jnp.float32))
+    b = jax.lax.stop_gradient(jnp.asarray(b, jnp.float32))
     x = jnp.clip(x, 0.0, 1.0)
     a_safe = jnp.maximum(a, 1e-12)
     log_beta = gammaln(a_safe) + gammaln(b) - gammaln(a_safe + b)

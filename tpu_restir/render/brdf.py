@@ -186,7 +186,8 @@ def sample_bsdf(key, m, n, d, from_inside, dst) -> BsdfSample:
     wi_t, f_t, pdf_t, vt_t = _transparent_sample(k_tr, m, n, d,
                                                  from_inside, dst)
 
-    is_lam = t == MatType.LAMBERT
+    is_ts = t == MatType.TS
+    is_lam = (t == MatType.LAMBERT) | is_ts  # TS samples as LAMBERT
     is_phg = (t == MatType.PHONG) | (t == MatType.DIELECTRIC)
     is_mir = t == MatType.MIRROR
     is_trn = t == MatType.TRANSPARENT
@@ -202,6 +203,8 @@ def sample_bsdf(key, m, n, d, from_inside, dst) -> BsdfSample:
     zero1 = jnp.zeros_like(pdf_p)
     omega_i = pick(wi_l, wi_p, wi_m, wi_t, zero3)
     f_r = pick(f_l, f_p, f_m, f_t, zero3)
+    # TS: cosine-sampled direction, but the full D*F*G eval as f_r
+    f_r = jnp.where(_bc(is_ts, f_r), _ts_eval(m, n, d, omega_i), f_r)
     pdf = pick(pdf_l, pdf_p, pdf_m, pdf_t, zero1)
     vtype = pick(jnp.full_like(t, VertexType.DIFFUSE), vt_p,
                  jnp.full_like(t, VertexType.MIRROR), vt_t,
@@ -209,9 +212,38 @@ def sample_bsdf(key, m, n, d, from_inside, dst) -> BsdfSample:
     return BsdfSample(omega_i=omega_i, f_r=f_r, pdf=pdf, vtype=vtype)
 
 
+def _ts_eval(m, n, d, omega_i) -> jnp.ndarray:
+    """Torrance-Sparrow GGX evaluation, replicating the reference's
+    formulas exactly (pg/MaterialTS.cpp:7-69) including its quirks: the
+    half vector is (o+i)/2 WITHOUT normalization, Smith G is fed the
+    half-vector dots, and alpha == 1 short-circuits D to 1/pi."""
+    omega_o = -d
+    omega_m = (omega_o + omega_i) * 0.5          # unnormalized (quirk)
+    m_dot_i = jnp.maximum(mathx.dot(omega_i, omega_m), 0.0)
+    m_dot_o = jnp.maximum(mathx.dot(omega_o, omega_m), 0.0)
+    n_dot_m = jnp.maximum(mathx.dot(omega_m, n), 0.0)
+    alpha = m.roughness * m.roughness
+    a2 = alpha * alpha
+
+    inner = (a2 - 1.0) * n_dot_m * n_dot_m + 1.0
+    d_ggx = jnp.where(alpha == 1.0, _INV_PI,
+                      _INV_PI * a2 / jnp.maximum(inner * inner, 1e-20))
+
+    def g_aux(dd):
+        frac = 1.0 / jnp.maximum(dd * dd, 1e-20) - 1.0
+        return (jnp.sqrt(1.0 + a2 * frac) - 1.0) * 0.5
+
+    g = 1.0 / (1.0 + g_aux(m_dot_o) + g_aux(m_dot_i))
+    f0 = ((1.0 - m.ior) / (1.0 + m.ior)) ** 2
+    f = f0 + (1.0 - f0) * (1.0 - m_dot_i) ** 5
+    denom = jnp.maximum(m_dot_i * m_dot_o, 1e-20)
+    spec = 0.25 * d_ggx * f * g / denom
+    return m.diffuse * _INV_PI + spec[..., None]
+
+
 def eval_bsdf(m, n, d, omega_i) -> jnp.ndarray:
-    """Material::evaluateBRDF: Lambert/Phong/Dielectric evaluate; delta and
-    base materials evaluate to 0."""
+    """Material::evaluateBRDF: Lambert/Phong/Dielectric/TS evaluate; delta
+    and base materials evaluate to 0."""
     t = m.mat_type
     d_refl, s_refl = _phong_reflectances(m, n, d)
     f_phong = _phong_eval(d_refl, s_refl, m.shininess, n, d, omega_i)
@@ -220,6 +252,8 @@ def eval_bsdf(m, n, d, omega_i) -> jnp.ndarray:
     out = jnp.where(_bc(t == MatType.LAMBERT, out), f_lam, out)
     is_phg = (t == MatType.PHONG) | (t == MatType.DIELECTRIC)
     out = jnp.where(_bc(is_phg, out), f_phong, out)
+    out = jnp.where(_bc(t == MatType.TS, out), _ts_eval(m, n, d, omega_i),
+                    out)
     return out
 
 
@@ -230,7 +264,9 @@ def pdf_bsdf(m, n, d, omega_i) -> jnp.ndarray:
     pdf_phong = _phong_pdf(d_refl, s_refl, m.shininess, n, d, omega_i)
     pdf_lam = sampling.pdf_cosine_hemisphere(n, omega_i)
     out = jnp.zeros_like(pdf_phong)
-    out = jnp.where(t == MatType.LAMBERT, pdf_lam, out)
+    # TS samples like LAMBERT (reference MaterialTS::getType() == LAMBERT)
+    out = jnp.where((t == MatType.LAMBERT) | (t == MatType.TS), pdf_lam,
+                    out)
     is_phg = (t == MatType.PHONG) | (t == MatType.DIELECTRIC)
     out = jnp.where(is_phg, pdf_phong, out)
     return out

@@ -16,7 +16,8 @@ from flax import struct
 from tpu_restir import mathx
 from tpu_restir.render import camera as cam_mod, intersect
 from tpu_restir.scene.envmap import sky_radiance
-from tpu_restir.scene.materials import (apply_normal_map, apply_textures,
+from tpu_restir.scene.materials import (MatType,  # noqa: F401
+                                        apply_normal_map, apply_textures,
                                         gather_materials)
 
 
@@ -100,6 +101,12 @@ def gbuffer_fill(scene, cam, cfg, frame_seed, ys, xs) -> GBuffer:
         emission=jnp.where(h3, m.emission, sky),
         shininess=jnp.where(hi.did_hit, m.shininess, 0.0),
         depth=jnp.where(hi.did_hit, hi.dst, 0.0),
-        mat_type=jnp.where(hi.did_hit, m.mat_type, 0),
+        # TS reports LAMBERT to the screen-space layer, like the
+        # reference's MaterialTS::getType() (the G-buffer dispatch never
+        # sees its specular lobe — faithful quirk)
+        mat_type=jnp.where(
+            hi.did_hit,
+            jnp.where(m.mat_type == MatType.TS, MatType.LAMBERT,
+                      m.mat_type), 0),
         inv_i_m=jnp.where(hi.did_hit, inv_i_m, 1.0),
         cam_pos=cam.pos, view_mat=cam.view_mat, focal=cam.focal)

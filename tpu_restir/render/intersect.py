@@ -293,6 +293,10 @@ def _any_chunk_cluster(o, d, tnear, tfar, wb, cmin, cmax):
 def _backend(scene, cfg: IntersectorConfig) -> str:
     if cfg.backend != "auto":
         return cfg.backend
+    from tpu_restir.kernels import ray_tri
+    if ray_tri.supports(scene) and jax.default_backend() != "cpu":
+        # fused Pallas kernel: the whole test stays in VMEM (small scenes)
+        return "fused"
     if scene.cluster_min is not None:
         return "cluster"
     return "woop_mxu" if scene.woop is not None else "brute"
@@ -302,6 +306,19 @@ def intersect_closest(scene, o, d, tnear, tfar,
                       cfg: IntersectorConfig = IntersectorConfig()) -> Hit:
     """Closest-hit query (reference Intersection::getClosestIntersection)."""
     backend = _backend(scene, cfg)
+    if backend == "fused":
+        from tpu_restir.kernels import ray_tri
+        shape = o.shape[:-1]
+        tn = jnp.broadcast_to(jnp.asarray(tnear, jnp.float32),
+                              shape).reshape(-1)
+        tf = jnp.broadcast_to(jnp.asarray(tfar, jnp.float32),
+                              shape).reshape(-1)
+        bt, bu, bv, btri = ray_tri.closest_hit(
+            scene, o.reshape(-1, 3), d.reshape(-1, 3), tn, tf)
+        hit = (btri >= 0).reshape(shape)
+        return Hit(t=jnp.where(hit, bt.reshape(shape), 0.0),
+                   u=bu.reshape(shape), v=bv.reshape(shape),
+                   tri=btri.reshape(shape), hit=hit)
     if backend == "cluster":
         wb = _pad_woop(scene, scene.cluster_size)
         fn = partial(_closest_chunk_cluster, wb=wb, cmin=scene.cluster_min,
@@ -321,6 +338,15 @@ def intersect_any(scene, o, d, tnear, tfar,
                   cfg: IntersectorConfig = IntersectorConfig()) -> jnp.ndarray:
     """Any-hit (shadow) query (reference rtcOccluded1 path)."""
     backend = _backend(scene, cfg)
+    if backend == "fused":
+        from tpu_restir.kernels import ray_tri
+        shape = o.shape[:-1]
+        tn = jnp.broadcast_to(jnp.asarray(tnear, jnp.float32),
+                              shape).reshape(-1)
+        tf = jnp.broadcast_to(jnp.asarray(tfar, jnp.float32),
+                              shape).reshape(-1)
+        return ray_tri.any_hit(scene, o.reshape(-1, 3), d.reshape(-1, 3),
+                               tn, tf).reshape(shape)
     if backend == "cluster":
         wb = _pad_woop(scene, scene.cluster_size)
         fn = partial(_any_chunk_cluster, wb=wb, cmin=scene.cluster_min,
@@ -355,15 +381,26 @@ def hit_attributes(scene, o, d, hit: Hit) -> HitInfo:
     normalization, and backface flip with from_inside tagging."""
     tri = jnp.maximum(hit.tri, 0)
     w = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)  # (..., 3)
-    n = jnp.sum(scene.vtx_normal[tri] * w[..., None], axis=-2)
+    nt = scene.num_tris
+    # one MXU row-select for all per-triangle attributes (25 channels);
+    # mat ids are small ints, exact as f32
+    attr = jnp.concatenate([
+        scene.vtx_normal.reshape(nt, 9), scene.vtx_uv.reshape(nt, 6),
+        scene.vtx_tangent.reshape(nt, 9),
+        scene.tri_mat.astype(jnp.float32)[:, None]], axis=1)
+    rows = mathx.take_rows(attr, tri)
+    n = jnp.sum(rows[..., 0:9].reshape(w.shape[:-1] + (3, 3))
+                * w[..., None], axis=-2)
     n = mathx.normalize(n)
     facing = mathx.dot(-d, n)
     from_inside = (facing <= 0.0) & hit.hit
     n = jnp.where(from_inside[..., None], -n, n)
-    uv = jnp.sum(scene.vtx_uv[tri] * w[..., None], axis=-2)
-    tangent = jnp.sum(scene.vtx_tangent[tri] * w[..., None], axis=-2)
+    uv = jnp.sum(rows[..., 9:15].reshape(w.shape[:-1] + (3, 2))
+                 * w[..., None], axis=-2)
+    tangent = jnp.sum(rows[..., 15:24].reshape(w.shape[:-1] + (3, 3))
+                      * w[..., None], axis=-2)
     point = o + d * hit.t[..., None]
-    mat_id = jnp.where(hit.hit, scene.tri_mat[tri], 0)
+    mat_id = jnp.where(hit.hit, rows[..., 24].astype(jnp.int32), 0)
     return HitInfo(did_hit=hit.hit, point=point, normal=n, uv=uv,
                    tangent=tangent, from_inside=from_inside, dst=hit.t,
                    tri=hit.tri, mat_id=mat_id)

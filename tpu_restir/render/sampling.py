@@ -75,6 +75,46 @@ def sample_triangle_barycentrics(key: jax.Array, shape):
         jax.random.uniform(key, shape + (2,)))
 
 
+def ggx_vndf_from_uniforms(u2, ve, alpha, g1, d_ggx):
+    """Heitz 2018 GGX visible-normal sampling in tangent space
+    (reference Sampling::sampleGGXVNDF, pg/Sampling.cpp:105-134 —
+    implemented there but unused by the live path; kept for parity).
+
+    ve: (..., 3) view dir in tangent space (+z up); alpha: GGX alpha.
+    Returns (ne, pdf) with pdf = G1(ve) * max(0, ve.ne) * D / ve_z.
+    """
+    u1, u2_ = u2[..., 0], u2[..., 1]
+    vh = ve * jnp.stack([jnp.broadcast_to(alpha, ve[..., 0].shape),
+                         jnp.broadcast_to(alpha, ve[..., 0].shape),
+                         jnp.ones_like(ve[..., 0])], axis=-1)
+    vh = vh / jnp.maximum(jnp.linalg.norm(vh, axis=-1, keepdims=True),
+                          1e-20)
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    t1 = jnp.where(
+        (lensq > 0.0)[..., None],
+        jnp.stack([-vh[..., 1] * inv, vh[..., 0] * inv,
+                   jnp.zeros_like(inv)], axis=-1),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), vh.shape))
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(u1)
+    phi = _TWO_PI * u2_
+    c1 = r * jnp.cos(phi)
+    c2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    c2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - c1 * c1, 0.0)) + s * c2
+    nh = (c1[..., None] * t1 + c2[..., None] * t2
+          + jnp.sqrt(jnp.maximum(1.0 - c1 * c1 - c2 * c2,
+                                 0.0))[..., None] * vh)
+    ne = jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
+                    jnp.maximum(nh[..., 2], 0.0)], axis=-1)
+    ne = ne / jnp.maximum(jnp.linalg.norm(ne, axis=-1, keepdims=True),
+                          1e-20)
+    pdf = g1 * jnp.maximum(jnp.sum(ve * ne, axis=-1), 0.0) * d_ggx \
+        / jnp.maximum(ve[..., 2], 1e-20)
+    return ne, pdf
+
+
 # ---------------------------------------------------------------------------
 # directional distributions — reference pg/Distribution.h
 # ---------------------------------------------------------------------------

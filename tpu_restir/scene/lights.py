@@ -55,10 +55,18 @@ def pick_triangle_from_uniform(u, lights: EmissiveCDF):
     Returns (scene_tri_idx, prob) with prob = area_i / total_area.
     """
     # std::lower_bound(first ge u) == searchsorted side='left'
+    k = pick_light_index(u, lights)
+    packed = jnp.stack([lights.areas,
+                        lights.tri_idx.astype(jnp.float32)], axis=1)
+    r = mathx.take_rows(packed, k)
+    prob = r[..., 0] / lights.total_area
+    return r[..., 1].astype(jnp.int32), prob
+
+
+def pick_light_index(u, lights: EmissiveCDF):
+    """CDF pick -> index into the light list (not the scene tri list)."""
     k = jnp.searchsorted(lights.cdf, u, side="left")
-    k = jnp.clip(k, 0, lights.count - 1)
-    prob = lights.areas[k] / lights.total_area
-    return lights.tri_idx[k], prob
+    return jnp.clip(k, 0, lights.count - 1)
 
 
 def pick_triangle(key: jax.Array, lights: EmissiveCDF, shape):
@@ -75,14 +83,26 @@ def light_point_from_uniforms(u3, scene):
     (pg/ReSTIRIntegrator.cpp:89-122).
     """
     shape = u3.shape[:-1]
-    tri, _prob = pick_triangle_from_uniform(u3[..., 0], scene.lights)
+    lights = scene.lights
+    k = pick_light_index(u3[..., 0], lights)
     w = sampling.triangle_barycentrics_from_uniforms(u3[..., 1:3])  # (..., 3)
-    v = scene.tri_v[tri]          # (..., 3 verts, 3)
-    n = scene.vtx_normal[tri]     # (..., 3 verts, 3)
-    point = jnp.sum(v * w[..., :, None], axis=-2)
-    normal = mathx.normalize(jnp.sum(n * w[..., :, None], axis=-2))
-    l_i = scene.materials.emission[scene.tri_mat[tri]]
-    pdf_area = jnp.broadcast_to(1.0 / scene.lights.total_area, shape)
+    # packed per-LIGHT table (L is tiny): verts 0:9, vertex normals 9:18,
+    # emission 18:21, scene tri index 21 — one MXU row-select per frame
+    li = lights.tri_idx
+    nl = li.shape[0]
+    packed = jnp.concatenate([
+        scene.tri_v[li].reshape(nl, 9),
+        scene.vtx_normal[li].reshape(nl, 9),
+        scene.materials.emission[scene.tri_mat[li]],
+        li.astype(jnp.float32)[:, None]], axis=1)           # (L, 22)
+    r = mathx.take_rows(packed, k)
+    point = jnp.sum(r[..., 0:9].reshape(shape + (3, 3))
+                    * w[..., :, None], axis=-2)
+    normal = mathx.normalize(jnp.sum(r[..., 9:18].reshape(shape + (3, 3))
+                                     * w[..., :, None], axis=-2))
+    l_i = r[..., 18:21]
+    tri = r[..., 21].astype(jnp.int32)
+    pdf_area = jnp.broadcast_to(1.0 / lights.total_area, shape)
     return dict(point=point, normal=normal, l_i=l_i, pdf_area=pdf_area,
                 tri=tri)
 

@@ -29,6 +29,11 @@ class MatType:
     DIELECTRIC = 4
     TRANSPARENT = 5
     UNSUPPORTED = 6
+    # Torrance-Sparrow GGX microfacet (reference MaterialTS.cpp:7-69):
+    # eval-only — its getType() reports LAMBERT so samplers and the
+    # screen-space (ReSTIR) layer treat it as diffuse, but evaluateBRDF
+    # adds the D*F*G specular lobe.
+    TS = 7
 
 
 class VertexType:
@@ -56,6 +61,7 @@ class MaterialSpec:
     shininess: float = 1.0
     ior: float = 1.5
     reflectivity: float = 1.0
+    roughness: float = 1.0   # GGX roughness (MaterialTS; alpha = r^2)
     attenuation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # texture slots (indices into the scene texture stack; -1 = none);
     # same 4 slots as the reference (pg/material.h kDiffuseMapSlot..):
@@ -74,6 +80,7 @@ class MaterialTable(struct.PyTreeNode):
     shininess: jnp.ndarray     # (M,)
     ior: jnp.ndarray           # (M,)
     reflectivity: jnp.ndarray  # (M,)
+    roughness: jnp.ndarray     # (M,) — GGX alpha = roughness^2 (MaterialTS)
     mat_type: jnp.ndarray      # (M,) int32
     tex_index: jnp.ndarray     # (M, 4) int32 — diffuse/specular/shininess/normal
 
@@ -103,7 +110,7 @@ def build_material_table(specs: List[MaterialSpec]) -> MaterialTable:
         emission=f3("emission"), ambient=f3("ambient"),
         attenuation=f3("attenuation"),
         shininess=f1("shininess"), ior=f1("ior"),
-        reflectivity=f1("reflectivity"),
+        reflectivity=f1("reflectivity"), roughness=f1("roughness"),
         mat_type=jnp.asarray(np.array([s.mat_type for s in specs],
                                       dtype=np.int32)),
         tex_index=jnp.asarray(tex),
@@ -111,15 +118,28 @@ def build_material_table(specs: List[MaterialSpec]) -> MaterialTable:
 
 
 def gather_materials(table: MaterialTable, mat_id: jnp.ndarray):
-    """Gather per-ray material columns for a flat array of material ids."""
+    """Per-ray material columns for a flat array of material ids.
+
+    One packed MXU row-select (mathx.take_rows) instead of ten XLA
+    gathers — the table is tiny, the index array is the whole frame.
+    Int columns (mat_type, tex slots) are small ints, exact as f32."""
+    from tpu_restir import mathx
+
     i = jnp.clip(mat_id, 0, table.count - 1)
+    packed = jnp.concatenate([
+        table.diffuse, table.specular, table.emission, table.ambient,
+        table.attenuation, table.shininess[:, None], table.ior[:, None],
+        table.reflectivity[:, None], table.roughness[:, None],
+        table.mat_type.astype(jnp.float32)[:, None],
+        table.tex_index.astype(jnp.float32)], axis=1)       # (M, 24)
+    r = mathx.take_rows(packed, i)
     return MaterialTable(
-        diffuse=table.diffuse[i], specular=table.specular[i],
-        emission=table.emission[i], ambient=table.ambient[i],
-        attenuation=table.attenuation[i],
-        shininess=table.shininess[i], ior=table.ior[i],
-        reflectivity=table.reflectivity[i],
-        mat_type=table.mat_type[i], tex_index=table.tex_index[i],
+        diffuse=r[..., 0:3], specular=r[..., 3:6], emission=r[..., 6:9],
+        ambient=r[..., 9:12], attenuation=r[..., 12:15],
+        shininess=r[..., 15], ior=r[..., 16], reflectivity=r[..., 17],
+        roughness=r[..., 18],
+        mat_type=r[..., 19].astype(jnp.int32),
+        tex_index=r[..., 20:24].astype(jnp.int32),
     )
 
 
