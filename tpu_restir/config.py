@@ -64,6 +64,9 @@ class RenderParams:
     normal_offset: float = 0.001
     russian_roulette: bool = True
     rr_start_bounce: int = 5  # RR kicks in for bounceCount > 5 (pg/NaivePathIntegrator.cpp:31)
+    # display-buffer debug pixel painted magenta, (x, y) or None
+    # (reference pg/simpleguidx11.cpp:186, 289-290)
+    debug_pixel: Optional[Tuple[int, int]] = None
 
 
 @dataclass(frozen=True)

@@ -54,31 +54,35 @@ def _kernel(dy_ref, dx_ref, payload_hbm, out_ref, win, sem, *, r, k_taps,
     dma.start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (BR, BC), 1)
+    # per-tap X-resolution lane indices: target window col = lane + PAD
+    # + dx. The 2r-wide source range straddles the two 128-lane vregs of
+    # a window row; gather from both and select. Hoisted out of the
+    # channel loop.
+    sel_a, idx_a, idx_b, dmask = [], [], [], []
+    for k in range(k_taps):
+        tcol = lane + (PAD + dx_ref[k])
+        sel_a.append(tcol < 128)
+        idx_a.append(jnp.clip(tcol, 0, 127))
+        idx_b.append(jnp.clip(tcol - 128, 0, 127))
+        dy = dy_ref[k]
+        dmask.append([dy == (sy - r) for sy in range(2 * r + 1)])
     dma.wait()
 
-    for k in range(k_taps):
-        dy = dy_ref[k]                                # (BR, BC) in [-r, r]
-        dx = dx_ref[k]
-        # X-resolution lane indices: target window col = lane + PAD + dx.
-        # The 2r-wide source range straddles the two 128-lane vregs of a
-        # window row; gather from both and select.
-        tcol = lane + (PAD + dx)
-        in_a = tcol < 128
-        ia = jnp.clip(tcol, 0, 127)
-        ib = jnp.clip(tcol - 128, 0, 127)
+    # channel loop is a fori (keeps the kernel body small); within it the
+    # unaligned row loads are shared by all K taps (taps innermost)
+    def body(c, _):
+        for sy in range(2 * r + 1):
+            rs = PAD - r + sy                         # static row offset
+            a = win[c, rs:rs + BR, 0:128]             # (BR, 128)
+            b = win[c, rs:rs + BR, 128:256]
+            for k in range(k_taps):
+                g = jnp.where(sel_a[k],
+                              jnp.take_along_axis(a, idx_a[k], axis=1),
+                              jnp.take_along_axis(b, idx_b[k], axis=1))
+                pltpu.store(out_ref.at[k, c], g, mask=dmask[k][sy])
+        return _
 
-        def body(c, _):
-            for sy in range(2 * r + 1):
-                rs = PAD - r + sy                     # static row offset
-                a = win[c, rs:rs + BR, 0:128]
-                b = win[c, rs:rs + BR, 128:256]
-                g = jnp.where(in_a, jnp.take_along_axis(a, ia, axis=1),
-                              jnp.take_along_axis(b, ib, axis=1))
-                pltpu.store(out_ref.at[k, c],
-                            g, mask=dy == (sy - r))
-            return _
-
-        jax.lax.fori_loop(0, c_ch, body, 0, unroll=False)
+    jax.lax.fori_loop(0, c_ch, body, 0, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("r",))

@@ -19,6 +19,7 @@ SURVEY.md §5.7). WRS acceptance draws are PCG4D keyed by global coords.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpu_restir import mathx, rng
@@ -28,6 +29,31 @@ from tpu_restir.render.integrators.restir import gbuffer as gb_mod
 from tpu_restir.render.integrators.restir import packed as pk
 from tpu_restir.render.integrators.restir import reservoir as rsv
 from tpu_restir.render.integrators.restir.phat import evaluate_p_hat
+
+
+def _reproject_tap(payload, tys, txs, ys, xs):
+    """Gather payload (eh, w, C) at reprojected coords.
+
+    Reprojection offsets are unbounded in general (arbitrary camera
+    motion) but are ZERO for the progressive-accumulation use case the
+    reference is built around (static camera between resets,
+    pg/simpleguidx11.cpp:232). Adaptive: when every offset fits the
+    Pallas windowed-gather bound, take the kernel path; otherwise fall
+    back to the XLA row gather. Both branches live under lax.cond so the
+    fast path costs nothing when motion is large."""
+    from tpu_restir.kernels import local_gather as lg
+
+    eh, w_, _c = payload.shape
+    if not (lg.supports(eh, w_, lg.PAD) and tys.shape == (eh, w_)
+            and jax.default_backend() != "cpu"):
+        return pk.gather_packed(payload, tys, txs)
+    dy = tys - ys[:eh, :]
+    dx = txs - xs
+    small = jnp.all((jnp.abs(dy) <= lg.PAD) & (jnp.abs(dx) <= lg.PAD))
+    return jax.lax.cond(
+        small,
+        lambda: lg.gather_local(payload, tys[None], txs[None], lg.PAD)[0],
+        lambda: pk.gather_packed(payload, tys, txs))
 
 
 def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
@@ -47,8 +73,16 @@ def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
         gb_prev.view_mat, gb_prev.focal, w, h, gb.pos)
     bxc = jnp.clip(bx, 0, w - 1)
     byc = local_row(jnp.clip(by, 0, h - 1), ext_row0, ext_h)
+    # snap irrelevant taps (invalid reprojection / miss pixels) to the
+    # identity: their gathered values are masked out by `accept` or hit
+    # empty reservoirs, and bounded offsets keep the static-camera case
+    # on the Pallas local-gather path
+    rel_b = valid_b & (gb.depth > 0.0)
+    byc = jnp.where(rel_b, byc, local_row(ys, ext_row0, ext_h))
+    bxc = jnp.where(rel_b, bxc, xs)
     prev_elem = pk.unpack_gb(
-        pk.gather_packed(pk.pack_gb(gb_prev_ext), byc, bxc), gb_prev_ext)
+        _reproject_tap(pk.pack_gb(gb_prev_ext), byc, bxc, ys, xs),
+        gb_prev_ext)
 
     cur_depth = mathx.length(gb.pos - gb.cam_pos)
     prev_depth = mathx.length(prev_elem.pos - gb_prev.cam_pos)
@@ -63,7 +97,11 @@ def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
     fxc = jnp.clip(fx, 0, w - 1)
     fyc = local_row(jnp.clip(fy, 0, h - 1), ext_row0,
                     gb_ext.depth.shape[0])
-    fw_elem_pos = pk.gather_packed(gb_ext.pos, fyc, fxc)
+    rel_f = valid_f & (gb_prev.depth > 0.0)
+    fyc = jnp.where(rel_f, fyc, local_row(ys, ext_row0,
+                                          gb_ext.depth.shape[0]))
+    fxc = jnp.where(rel_f, fxc, xs)
+    fw_elem_pos = _reproject_tap(gb_ext.pos, fyc, fxc, ys, xs)
     cur_depth_p = mathx.length(prev_at_cur_pos - gb_prev.cam_pos)
     prev_depth_p = mathx.length(fw_elem_pos - gb.cam_pos)
     ratio_p = jnp.minimum(cur_depth_p, prev_depth_p) / jnp.maximum(

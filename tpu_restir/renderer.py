@@ -130,7 +130,19 @@ class Renderer:
         return self.accumulator
 
     def display(self) -> np.ndarray:
-        return np.asarray(display_image(self.accumulator, self.cfg.params))
+        """Accumulator -> display bytes-ready floats, following the
+        reference's pipeline order: accumulate -> [denoise] -> [ACES] ->
+        sRGB -> debug-pixel overlay (pg/simpleguidx11.cpp:246-295)."""
+        img = self.accumulator
+        params = self.cfg.params
+        if params.denoise and self._restir_state is not None:
+            from tpu_restir.denoise import denoise_accumulator
+            img = denoise_accumulator(img, self._restir_state.gb_prev)
+        out = display_image(img, params)
+        if params.debug_pixel is not None:
+            x, y = params.debug_pixel
+            out = out.at[y, x].set(jnp.asarray([1.0, 0.0, 1.0]))
+        return np.asarray(out)
 
     def stats(self):
         m, v = metrics.image_mean_variance(self.accumulator)
