@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from tpu_restir import rng
+from tpu_restir.diff.params import extract_params
+from tpu_restir.diff.render import loss_fn
 from tpu_restir.config import (CameraConfig, IntersectorConfig, RenderConfig,
                                RenderParams, RestirParams)
 from tpu_restir.render import camera as cam_mod
@@ -89,14 +91,32 @@ def main():
         float(jnp.sum(frame))
     dt = time.perf_counter() - t0
 
-    rays = rays_per_pixel(cfg) * WIDTH * HEIGHT * N_FRAMES
-    mrays = rays / dt / 1e6
-    baseline_mrays = 2.0  # reference CPU (BASELINE.md derived throughput)
+    rays_frame = rays_per_pixel(cfg) * WIDTH * HEIGHT
+    mrays_fwd = rays_frame * N_FRAMES / dt / 1e6
+
+    # --- fwd+bwd: value_and_grad of a pixel loss w.r.t. material params
+    # through one full ReSTIR frame (the driver metric is
+    # "Mrays/s/chip fwd+bwd at 1080p ReSTIR") -------------------------------
+    params = extract_params(scene)
+    target = jnp.zeros((HEIGHT, WIDTH, 3))
+    vg = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, scene, cam, cfg, (1,), target)))
+    v, _g = vg(params)
+    float(v)
+    n_bwd = 3
+    t0 = time.perf_counter()
+    for _ in range(n_bwd):
+        v, _g = vg(params)
+        float(v)
+    dt_bwd = (time.perf_counter() - t0) / n_bwd
+    mrays_fwd_bwd = rays_frame / dt_bwd / 1e6
+
+    baseline_mrays = 2.0  # reference CPU fwd (BASELINE.md derived throughput)
     print(json.dumps({
-        "metric": "restir_1080p_mrays_per_s",
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / baseline_mrays, 2),
+        "metric": "restir_1080p_mrays_per_s_fwd_bwd",
+        "value": round(mrays_fwd_bwd, 2),
+        "unit": "Mrays/s (fwd " + str(round(mrays_fwd, 1)) + ")",
+        "vs_baseline": round(mrays_fwd_bwd / baseline_mrays, 2),
     }))
 
 

@@ -85,12 +85,17 @@ def _kernel(dy_ref, dx_ref, payload_hbm, out_ref, win, sem, *, r, k_taps,
     jax.lax.fori_loop(0, c_ch, body, 0, unroll=False)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 @functools.partial(jax.jit, static_argnames=("r",))
 def gather_local(payload: jnp.ndarray, tys: jnp.ndarray, txs: jnp.ndarray,
                  r: int) -> jnp.ndarray:
     """payload (H, W, C) f32, absolute tap coords tys/txs (K, H, W) int32
     with |tap - pixel| <= r <= PAD (pre-clamped to the screen).
     Returns (K, H, W, C) f32: payload[tys, txs, :].
+
+    Differentiable in payload (gather transpose = scatter-add, so
+    gradients flow through neighbor reuse exactly like the XLA-gather
+    fallback path).
     """
     h, w, c = payload.shape
     k = tys.shape[0]
@@ -121,6 +126,117 @@ def gather_local(payload: jnp.ndarray, tys: jnp.ndarray, txs: jnp.ndarray,
         ],
     )(dy, dx, pcf)
     return jnp.transpose(out, (0, 2, 3, 1))          # (K, H, W, C)
+
+
+def _scatter_kernel(dy_ref, dx_ref, g_hbm, out_ref, gwin, dywin, dxwin,
+                    acc_ref, gsem, osem, *, r, k_taps, c_ch):
+    """Transpose of the windowed gather: every destination pixel p sums
+    the cotangents of the source pixels q (within the offset window)
+    whose tap targeted p: gp[p] = sum_{q,k : q+off_k(q)=p} g[k,q].
+    Sequential accumulation — no scatter collisions. Per-tap window DMAs
+    are double-buffered; the accumulator lives in VMEM scratch with one
+    read-modify-write per (tap, row-offset) to bound register pressure."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    wr = BR + 2 * PAD
+    wc = BC + 128
+
+    def gdma(k, slot):
+        return pltpu.make_async_copy(
+            g_hbm.at[k, :, pl.ds(i * BR, wr), pl.ds(j * BC, wc)],
+            gwin.at[slot], gsem.at[slot])
+
+    gdma(0, 0).start()
+    # offset windows in padded coordinates (pads hold a sentinel > r so
+    # they never match any (sy, sx))
+    dma_y = pltpu.make_async_copy(
+        dy_ref.at[:, pl.ds(i * BR, wr), pl.ds(j * BC, wc)], dywin, osem)
+    dma_y.start()
+    dma_y.wait()
+    dma_x = pltpu.make_async_copy(
+        dx_ref.at[:, pl.ds(i * BR, wr), pl.ds(j * BC, wc)], dxwin, osem)
+    dma_x.start()
+    dma_x.wait()
+
+    acc_ref[:] = jnp.zeros((c_ch, BR, BC), jnp.float32)
+    for k in range(k_taps):
+        slot = k % 2
+        gdma(k, slot).wait()
+        if k + 1 < k_taps:
+            gdma(k + 1, (k + 1) % 2).start()
+        for sy in range(-r, r + 1):
+            # source rows q_y = p_y - sy at window offset PAD - sy
+            rs = PAD - sy
+            dyr = dywin[k, rs:rs + BR, :]
+            dxr = dxwin[k, rs:rs + BR, :]
+            row = jnp.zeros((c_ch, BR, BC), jnp.float32)
+            for sx in range(-r, r + 1):
+                cs = PAD - sx
+                m = ((dyr[:, cs:cs + BC] == sy)
+                     & (dxr[:, cs:cs + BC] == sx))
+                sl = gwin[slot, :, rs:rs + BR, cs:cs + BC]
+                row = row + jnp.where(m[None], sl, 0.0)
+            acc_ref[:] = acc_ref[:] + row
+    out_ref[:] = acc_ref[:]
+
+
+def _scatter_local_transpose(g, tys, txs, r, h, w, c):
+    """g (K, H, W, C) cotangents of gather_local -> payload cotangent
+    (H, W, C), as a Pallas windowed sum (XLA's scatter-add moves ~one
+    element per cycle and dominated the backward pass)."""
+    k = g.shape[0]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
+    dy = tys - ys
+    dx = txs - xs
+    gcf = jnp.transpose(g, (0, 3, 1, 2))             # (K, C, H, W)
+    gcf = jnp.pad(gcf, ((0, 0), (0, 0), (PAD, PAD), (PAD, 128 - PAD)))
+    sent = jnp.int32(PAD + 1)                        # never matches
+    dyp = jnp.pad(dy, ((0, 0), (PAD, PAD), (PAD, 128 - PAD)),
+                  constant_values=sent)
+    dxp = jnp.pad(dx, ((0, 0), (PAD, PAD), (PAD, 128 - PAD)),
+                  constant_values=sent)
+    grid = (h // BR, w // BC)
+    wr, wc = BR + 2 * PAD, BC + 128
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, r=r, k_taps=k, c_ch=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((c, BR, BC), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, wr, wc), jnp.float32),
+            pltpu.VMEM((k, wr, wc), jnp.int32),
+            pltpu.VMEM((k, wr, wc), jnp.int32),
+            pltpu.VMEM((c, BR, BC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(dyp, dxp, gcf)
+    return jnp.transpose(out, (1, 2, 0))
+
+
+def _gather_local_fwd(payload, tys, txs, r):
+    return gather_local(payload, tys, txs, r), (tys, txs, payload.shape)
+
+
+def _gather_local_bwd(r, res, g):
+    tys, txs, (h, w, c) = res
+    if supports(h, w, r):
+        gp = _scatter_local_transpose(g, tys, txs, r, h, w, c)
+    else:
+        idx = (tys * w + txs).reshape(-1)
+        gp = jnp.zeros((h * w, c), g.dtype).at[idx].add(
+            g.reshape(-1, c)).reshape(h, w, c)
+    return gp, None, None
+
+
+gather_local.defvjp(_gather_local_fwd, _gather_local_bwd)
 
 
 def supports(h: int, w: int, r: int) -> bool:

@@ -105,11 +105,8 @@ def _woop_rows(scene):
     return scene.woop.reshape(scene.num_tris, 12)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def any_hit(scene, o, d, tnear, tfar) -> jnp.ndarray:
-    """Occlusion query: True where any triangle blocks [tnear, tfar]."""
+def _any_core_impl(w, o, d, tnear, tfar):
     rays, nt, n = _pack_rays(o, d, tnear, tfar)
-    w = _woop_rows(scene)
     out = pl.pallas_call(
         functools.partial(_any_kernel, n_tris=w.shape[0]),
         grid=(nt,),
@@ -125,11 +122,35 @@ def any_hit(scene, o, d, tnear, tfar) -> jnp.ndarray:
     return out.reshape(-1)[:n] > 0.5
 
 
-@functools.partial(jax.jit, static_argnames=())
-def closest_hit(scene, o, d, tnear, tfar):
-    """Closest-hit query -> (t, u, v, tri) flat arrays (tri = -1 on miss)."""
+@jax.custom_vjp
+def _any_core(w, o, d, tnear, tfar):
+    return _any_core_impl(w, o, d, tnear, tfar)
+
+
+def _any_fwd(w, o, d, tnear, tfar):
+    return _any_core_impl(w, o, d, tnear, tfar), (
+        w.shape, o.shape, d.shape, tnear.shape, tfar.shape)
+
+
+def _any_bwd(res, _g):
+    # boolean visibility is detached (the reference estimator treats V
+    # as data); cotangents are zero
+    ws, os_, ds, tns, tfs = res
+    return (jnp.zeros(ws), jnp.zeros(os_), jnp.zeros(ds),
+            jnp.zeros(tns), jnp.zeros(tfs))
+
+
+_any_core.defvjp(_any_fwd, _any_bwd)
+
+
+def any_hit(scene, o, d, tnear, tfar) -> jnp.ndarray:
+    """Occlusion query: True where any triangle blocks [tnear, tfar].
+    Detached for autodiff."""
+    return _any_core(_woop_rows(scene), o, d, tnear, tfar)
+
+
+def _closest_core_impl(w, o, d, tnear, tfar):
     rays, nt, n = _pack_rays(o, d, tnear, tfar)
-    w = _woop_rows(scene)
     out = pl.pallas_call(
         functools.partial(_closest_kernel, n_tris=w.shape[0]),
         grid=(nt,),
@@ -145,6 +166,60 @@ def closest_hit(scene, o, d, tnear, tfar):
     flat = out.reshape(4, -1)[:, :n]
     tri = flat[3].astype(jnp.int32)
     return flat[0], flat[1], flat[2], tri
+
+
+@jax.custom_vjp
+def _closest_core(w, o, d, tnear, tfar):
+    return _closest_core_impl(w, o, d, tnear, tfar)
+
+
+def _closest_fwd(w, o, d, tnear, tfar):
+    out = _closest_core_impl(w, o, d, tnear, tfar)
+    t, _u, _v, tri = out
+    return out, (w, d, t, tri, tnear.shape, tfar.shape)
+
+
+def _closest_bwd(res, g):
+    """Analytic d(t,u,v)/d(o,d) for the (detached) winning triangle.
+
+    With W the winner's Woop rows (w_u, w_v, w_w | translations):
+      t = -(w_w.o + c_w) / (w_w.d)
+      u = (w_u.o + c_u) + t (w_u.d),   v likewise with w_v,
+    so with L_x = w_x.d and a = (gt + gu L_u + gv L_v)/L_w:
+      dL/do = gu w_u + gv w_v - a w_w,   dL/dd = t * dL/do.
+    Geometry (w) is treated as data.
+    """
+    from tpu_restir import mathx
+
+    w, d, t, tri, tns, tfs = res
+    gt, gu, gv, _gtri = g
+    rows = mathx.take_rows(w, jnp.maximum(tri, 0))   # (N, 12)
+    wu = rows[:, 0:3]
+    wv = rows[:, 4:7]
+    ww = rows[:, 8:11]
+    lw = jnp.sum(ww * d, axis=-1)
+    lu = jnp.sum(wu * d, axis=-1)
+    lv = jnp.sum(wv * d, axis=-1)
+    inv_lw = jnp.where(jnp.abs(lw) > 1e-18, 1.0 / lw, 0.0)
+    live = ((tri >= 0) & jnp.isfinite(t)).astype(jnp.float32)
+    tt = jnp.where(jnp.isfinite(t), t, 0.0)
+    a = (gu * lu + gv * lv + gt) * inv_lw * live
+    go = (gu * live)[:, None] * wu + (gv * live)[:, None] * wv \
+        - a[:, None] * ww
+    gd = tt[:, None] * go
+    return (jnp.zeros_like(w), go, gd, jnp.zeros(tns), jnp.zeros(tfs))
+
+
+_closest_core.defvjp(_closest_fwd, _closest_bwd)
+
+
+def closest_hit(scene, o, d, tnear, tfar):
+    """Closest-hit query -> (t, u, v, tri) flat arrays (tri = -1 on miss).
+
+    Differentiable in (o, d) via the analytic derivative of the winning
+    triangle's Woop transform (the discrete winner is detached, standard
+    for hit-point derivatives); scene geometry is treated as data."""
+    return _closest_core(_woop_rows(scene), o, d, tnear, tfar)
 
 
 def supports(scene, max_tris: int = 512) -> bool:
