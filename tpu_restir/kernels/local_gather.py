@@ -240,5 +240,7 @@ gather_local.defvjp(_gather_local_fwd, _gather_local_bwd)
 
 
 def supports(h: int, w: int, r: int) -> bool:
-    """Kernel applicability: tile-aligned image, offsets within PAD."""
-    return r <= PAD and h % BR == 0 and w % BC == 0
+    """Kernel applicability: TPU backend (the Mosaic kernel does not lower
+    on CPU), tile-aligned image, offsets within PAD."""
+    return (r <= PAD and h % BR == 0 and w % BC == 0
+            and jax.default_backend() != "cpu")

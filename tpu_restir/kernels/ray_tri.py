@@ -62,25 +62,29 @@ def _woop_tuvok(rays, w, t_idx):
 
 
 def _any_kernel(rays_ref, w_ref, out_ref, *, n_tris):
-    occ = jnp.zeros((8, 128), jnp.bool_)
-    for t_idx in range(n_tris):
+    # fori_loop over triangles (SMEM scalar loads take a traced index):
+    # keeps the Mosaic program O(1) in scene size instead of unrolling
+    # ~35 VPU ops per triangle into the kernel body
+    def body(t_idx, occ):
         _t, _u, _v, ok = _woop_tuvok(rays_ref, w_ref, t_idx)
-        occ = occ | ok
+        return occ | ok
+
+    occ = jax.lax.fori_loop(0, n_tris, body, jnp.zeros((8, 128), jnp.bool_))
     out_ref[:] = occ.astype(jnp.float32)
 
 
 def _closest_kernel(rays_ref, w_ref, out_ref, *, n_tris):
-    bt = jnp.full((8, 128), _INF)
-    bu = jnp.zeros((8, 128), jnp.float32)
-    bv = jnp.zeros((8, 128), jnp.float32)
-    btri = jnp.full((8, 128), -1.0)
-    for t_idx in range(n_tris):
+    def body(t_idx, carry):
+        bt, bu, bv, btri = carry
         t, u, v, ok = _woop_tuvok(rays_ref, w_ref, t_idx)
         better = ok & (t < bt)
-        bt = jnp.where(better, t, bt)
-        bu = jnp.where(better, u, bu)
-        bv = jnp.where(better, v, bv)
-        btri = jnp.where(better, jnp.float32(t_idx), btri)
+        return (jnp.where(better, t, bt), jnp.where(better, u, bu),
+                jnp.where(better, v, bv),
+                jnp.where(better, t_idx.astype(jnp.float32), btri))
+
+    init = (jnp.full((8, 128), _INF), jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32), jnp.full((8, 128), -1.0))
+    bt, bu, bv, btri = jax.lax.fori_loop(0, n_tris, body, init)
     out_ref[0] = jnp.where(btri >= 0.0, bt, _INF)
     out_ref[1] = bu
     out_ref[2] = bv

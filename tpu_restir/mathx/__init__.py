@@ -17,7 +17,8 @@ _EPS = 1e-30
 
 
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray,
-              mxu_max_rows: int = 1024) -> jnp.ndarray:
+              mxu_max_rows: int = 1024,
+              onehot_budget_bytes: int = 256 * 1024 * 1024) -> jnp.ndarray:
     """Row select `table[idx]` for a SMALL f32 table, TPU-native.
 
     XLA's gather moves ~one element per cycle on TPU, so selecting rows
@@ -30,15 +31,34 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray,
     magnitudes are normal floats (pack small ints as f32, not bitcasts).
 
     table: (T, C) float32; idx: any integer shape -> idx.shape + (C,).
-    Falls back to a plain gather for large tables.
+
+    The one-hot operand is (N, T) f32 in HBM (XLA does not fuse its
+    producer into the dot), so the path is gated on its FOOTPRINT
+    N*T*4 bytes, not just on T: 2M indices x a 1000-row table would
+    otherwise allocate ~8 GB. Over budget, the index stream is chunked
+    through lax.map so each chunk's one-hot stays bounded; tables
+    larger than mxu_max_rows fall back to a plain gather.
     """
     t, _c = table.shape
     if t > mxu_max_rows:
         return table[idx]
     flat = idx.reshape(-1)
-    onehot = (flat[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :])
-    out = jnp.dot(onehot.astype(jnp.float32), table,
-                  precision=jax.lax.Precision.HIGHEST)
+    n = flat.shape[0]
+
+    def onehot_rows(ix):
+        onehot = (ix[:, None] == jnp.arange(t, dtype=ix.dtype)[None, :])
+        return jnp.dot(onehot.astype(jnp.float32), table,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    if n * t * 4 <= onehot_budget_bytes:
+        out = onehot_rows(flat)
+    else:
+        chunk = max(onehot_budget_bytes // (t * 4), 1024)
+        chunk = min(chunk - chunk % 1024, n)  # keep chunks lane-aligned
+        nc = -(-n // chunk)
+        padded = jnp.pad(flat, (0, nc * chunk - n))
+        out = jax.lax.map(onehot_rows, padded.reshape(nc, chunk))
+        out = out.reshape(nc * chunk, -1)[:n]
     return out.reshape(idx.shape + table.shape[-1:])
 
 

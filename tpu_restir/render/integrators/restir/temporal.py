@@ -108,7 +108,10 @@ def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
         jnp.maximum(cur_depth_p, prev_depth_p), 1e-20)
     depth_ok_p = ratio_p >= 0.9
 
-    accept = valid_b & depth_ok & valid_f & depth_ok_p
+    # rel_b/rel_f fold in explicitly: where a tap was snapped to the
+    # identity its gathered depth ratio is meaningless, so acceptance must
+    # not rest on prev reservoirs happening to be empty for such pixels
+    accept = rel_b & depth_ok & rel_f & depth_ok_p
 
     # --- confidence-weighted MIS combine (pg/ReSTIRIntegrator.cpp:694-731)
     cur_s = res_cur.sample

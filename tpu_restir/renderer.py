@@ -32,7 +32,6 @@ def _render_frame(scene, cam, cfg: RenderConfig, key):
     if cfg.integrator == "nee":
         return render_nee(scene, cam, cfg, key)
     if cfg.integrator == "restir":
-        from tpu_restir.render.integrators.restir import pipeline
         raise RuntimeError(
             "use Renderer which threads ReSTIR state between frames")
     raise ValueError(f"unknown integrator {cfg.integrator!r}")
@@ -135,7 +134,13 @@ class Renderer:
         sRGB -> debug-pixel overlay (pg/simpleguidx11.cpp:246-295)."""
         img = self.accumulator
         params = self.cfg.params
-        if params.denoise and self._restir_state is not None:
+        if params.denoise:
+            if self._restir_state is None:
+                # the joint-bilateral guides come from the ReSTIR G-buffer;
+                # don't silently drop a requested denoise pass
+                raise ValueError(
+                    "denoise=True requires the 'restir' integrator (the "
+                    "denoiser's guide buffers come from its G-buffer)")
             from tpu_restir.denoise import denoise_accumulator
             img = denoise_accumulator(img, self._restir_state.gb_prev)
         out = display_image(img, params)
