@@ -37,6 +37,10 @@ BR = 8     # output tile rows  (f32 sublane tile)
 BC = 128   # output tile cols  (lane tile)
 PAD = 8    # image padding == max supported offset radius
 
+# Test hook: run the Mosaic kernels in the Pallas interpreter (CPU) so the
+# suite can check them against the XLA fallback without TPU hardware.
+INTERPRET = False
+
 
 def _kernel(dy_ref, dx_ref, payload_hbm, out_ref, win, sem, *, r, k_taps,
             c_ch):
@@ -109,13 +113,14 @@ def gather_local(payload: jnp.ndarray, tys: jnp.ndarray, txs: jnp.ndarray,
     grid = (h // BR, w // BC)
     out = pl.pallas_call(
         functools.partial(_kernel, r=r, k_taps=k, c_ch=c),
+        interpret=INTERPRET,
         grid=grid,
         in_specs=[
             pl.BlockSpec((k, BR, BC), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, BR, BC), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((k, c, BR, BC), lambda i, j: (0, 0, i, j),
                                memory_space=pltpu.VMEM),
@@ -200,11 +205,12 @@ def _scatter_local_transpose(g, tys, txs, r, h, w, c):
     wr, wc = BR + 2 * PAD, BC + 128
     out = pl.pallas_call(
         functools.partial(_scatter_kernel, r=r, k_taps=k, c_ch=c),
+        interpret=INTERPRET,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((c, BR, BC), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
@@ -243,4 +249,4 @@ def supports(h: int, w: int, r: int) -> bool:
     """Kernel applicability: TPU backend (the Mosaic kernel does not lower
     on CPU), tile-aligned image, offsets within PAD."""
     return (r <= PAD and h % BR == 0 and w % BC == 0
-            and jax.default_backend() != "cpu")
+            and (jax.default_backend() != "cpu" or INTERPRET))

@@ -32,6 +32,10 @@ _INF = np.float32(np.inf)
 _BARY_EPS = 1e-5   # watertight slack, matches kernels/woop.py
 TILE = 1024        # rays per grid step: (8, 128)
 
+# Test hook: run the Mosaic kernels in the Pallas interpreter (CPU) so the
+# suite can check them against the XLA backends without TPU hardware.
+INTERPRET = False
+
 
 def _woop_tuvok(rays, w, t_idx):
     """One triangle's (t, u, v, ok) over an (8, 128) ray tile.
@@ -113,6 +117,7 @@ def _any_core_impl(w, o, d, tnear, tfar):
     rays, nt, n = _pack_rays(o, d, tnear, tfar)
     out = pl.pallas_call(
         functools.partial(_any_kernel, n_tris=w.shape[0]),
+        interpret=INTERPRET,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((8, 8, 128), lambda i: (0, i, 0),
@@ -157,6 +162,7 @@ def _closest_core_impl(w, o, d, tnear, tfar):
     rays, nt, n = _pack_rays(o, d, tnear, tfar)
     out = pl.pallas_call(
         functools.partial(_closest_kernel, n_tris=w.shape[0]),
+        interpret=INTERPRET,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((8, 8, 128), lambda i: (0, i, 0),
