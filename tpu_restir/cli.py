@@ -23,7 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("tpu_restir",
                                 description="TPU-native ReSTIR renderer")
     p.add_argument("--scene", default="cornell",
-                   help="cornell | cornell-glossy | many-lights[:N] | path/to.obj")
+                   help="cornell | cornell-glossy | many-lights[:N] | "
+                        "terrain[:N_TRIS] | soup[:N_TRIS] | path/to.obj")
     p.add_argument("--size", default="256x256", help="WIDTHxHEIGHT")
     p.add_argument("--fov", type=float, default=45.0)
     p.add_argument("--view-from", default="0,-3.9,1.0")
@@ -82,6 +83,16 @@ def load_scene(name: str):
     if name.startswith("many-lights"):
         n = int(name.split(":")[1]) if ":" in name else 1000
         return many_lights_scene(n)
+    if name.startswith("terrain"):
+        from tpu_restir.scene.procedural import terrain_scene
+
+        n = int(name.split(":")[1]) if ":" in name else 100_000
+        return terrain_scene(n)
+    if name.startswith("soup"):
+        from tpu_restir.scene.procedural import triangle_soup
+
+        n = int(name.split(":")[1]) if ":" in name else 10_000
+        return triangle_soup(n)
     from tpu_restir.scene.objloader import load_obj_scene
 
     return load_obj_scene(name)

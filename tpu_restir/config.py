@@ -107,9 +107,10 @@ class CameraConfig:
 class IntersectorConfig:
     """Ray-scene intersection backend selection and tiling knobs."""
 
-    backend: str = "auto"  # "brute" | "woop_mxu" | "cluster" | "auto"
+    backend: str = "auto"  # "brute" | "woop_mxu" | "cluster" | "bvh" | "auto"
     ray_chunk: int = 1 << 18   # rays per lax.map chunk (tuned on v5e)
     tri_block: int = 2048      # triangles per scan block
+    bvh_threshold: int = 4096  # auto: wide-BVH traversal above this size
 
 
 @dataclass(frozen=True)

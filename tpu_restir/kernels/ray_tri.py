@@ -68,13 +68,14 @@ def _woop_tuvok(rays, w, t_idx):
 def _any_kernel(rays_ref, w_ref, out_ref, *, n_tris):
     # fori_loop over triangles (SMEM scalar loads take a traced index):
     # keeps the Mosaic program O(1) in scene size instead of unrolling
-    # ~35 VPU ops per triangle into the kernel body
+    # ~35 VPU ops per triangle into the kernel body. The carry is f32,
+    # not bool — Mosaic cannot legalize an i1-vector loop carry.
     def body(t_idx, occ):
         _t, _u, _v, ok = _woop_tuvok(rays_ref, w_ref, t_idx)
-        return occ | ok
+        return jnp.maximum(occ, ok.astype(jnp.float32))
 
-    occ = jax.lax.fori_loop(0, n_tris, body, jnp.zeros((8, 128), jnp.bool_))
-    out_ref[:] = occ.astype(jnp.float32)
+    occ = jax.lax.fori_loop(0, n_tris, body, jnp.zeros((8, 128), jnp.float32))
+    out_ref[:] = occ
 
 
 def _closest_kernel(rays_ref, w_ref, out_ref, *, n_tris):

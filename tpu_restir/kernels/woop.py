@@ -72,7 +72,9 @@ def intersect_block(o, d, w_packed, tnear, tfar):
     op = op.reshape(c, b, 3)
     dp = dp.reshape(c, b, 3)
     dw = dp[..., 2]
-    t = jnp.where(jnp.abs(dw) > 1e-18, -op[..., 2] / dw, _INF)
+    ok_dw = jnp.abs(dw) > 1e-18
+    # AD-safe division (0 * inf = NaN through the where otherwise)
+    t = jnp.where(ok_dw, -op[..., 2] / jnp.where(ok_dw, dw, 1.0), _INF)
     u = op[..., 0] + t * dp[..., 0]
     v = op[..., 1] + t * dp[..., 1]
     # small barycentric slack for watertightness: rays exactly on shared

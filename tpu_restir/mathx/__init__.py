@@ -73,7 +73,12 @@ def dot1(a, b):
 
 
 def length(v):
-    return jnp.sqrt(jnp.maximum(dot(v, v), 0.0))
+    """AD-safe |v|: sqrt'(0) = inf would turn a masked-off cotangent into
+    0 * inf = NaN (p_hat = |f| is exactly 0 for occluded/invalid samples,
+    and every downstream use masks on p_hat > 0)."""
+    s = jnp.maximum(dot(v, v), 0.0)
+    pos = s > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
 
 
 def normalize(v):

@@ -59,13 +59,16 @@ def _mt_block(o, d, v0, e1, e2):
     """Möller-Trumbore: rays (C,3) x triangles (B,3) -> t,u,v,(det ok) (C,B)."""
     p = jnp.cross(d[:, None, :], e2[None, :, :])
     det = jnp.sum(e1[None, :, :] * p, axis=-1)
-    inv = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    ok_det = jnp.abs(det) > _DET_EPS
+    # AD-safe reciprocal: 1/det on degenerate (padding) triangles would
+    # backprop 0 * inf = NaN through the where
+    inv = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
     tv = o[:, None, :] - v0[None, :, :]
     u = jnp.sum(tv * p, axis=-1) * inv
     q = jnp.cross(tv, e1[None, :, :])
     v = jnp.sum(d[:, None, :] * q, axis=-1) * inv
     t = jnp.sum(e2[None, :, :] * q, axis=-1) * inv
-    ok = (jnp.abs(det) > _DET_EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    ok = ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
     return t, u, v, ok
 
 
@@ -223,6 +226,100 @@ def _any_chunk_woop(o, d, tnear, tfar, wb):
 
 
 # ---------------------------------------------------------------------------
+# Wide-BVH backend (tpu_restir.accel.wide): the production large-scene
+# path. Traversal is a lockstep while_loop; reverse-mode AD cannot flow
+# through it, so the queries carry the same detached-winner custom VJP as
+# the fused Pallas kernel (analytic d(t,u,v)/d(o,d) of the winning
+# triangle's Woop transform; occlusion is data).
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _bvh_closest_core(max_depth, max_leaf, boxes, meta, v0, e1, e2, woop,
+                      o, d, tnear, tfar):
+    from tpu_restir.accel.wide import BVH8Arrays, bvh8_closest
+
+    bvh = BVH8Arrays(boxes=boxes, meta=meta, max_depth=max_depth,
+                     max_leaf=max_leaf)
+    return bvh8_closest(bvh, v0, e1, e2, o, d, tnear, tfar)
+
+
+def _bvh_closest_fwd(max_depth, max_leaf, boxes, meta, v0, e1, e2, woop,
+                     o, d, tnear, tfar):
+    out = _bvh_closest_core(max_depth, max_leaf, boxes, meta, v0, e1, e2,
+                            woop, o, d, tnear, tfar)
+    t, _u, _v, tri = out
+    return out, (boxes, meta, v0, e1, e2, woop, d, t, tri,
+                 tnear.shape, tfar.shape)
+
+
+def _bvh_closest_bwd(max_depth, max_leaf, res, g):
+    """Same derivation as kernels.ray_tri._closest_bwd: with W the
+    winner's Woop rows, t = -(w_w.o + c_w)/(w_w.d), u/v affine in (o, d);
+    the discrete winner and the geometry are detached."""
+    boxes, meta, v0, e1, e2, woop, d, t, tri, tns, tfs = res
+    gt, gu, gv, _gtri = g
+    rows = woop.reshape(woop.shape[0], 12)[jnp.maximum(tri, 0)]
+    wu = rows[:, 0:3]
+    wv = rows[:, 4:7]
+    ww = rows[:, 8:11]
+    lw = jnp.sum(ww * d, axis=-1)
+    lu = jnp.sum(wu * d, axis=-1)
+    lv = jnp.sum(wv * d, axis=-1)
+    inv_lw = jnp.where(jnp.abs(lw) > 1e-18, 1.0 / lw, 0.0)
+    live = ((tri >= 0) & jnp.isfinite(t)).astype(jnp.float32)
+    tt = jnp.where(jnp.isfinite(t), t, 0.0)
+    a = (gu * lu + gv * lv + gt) * inv_lw * live
+    go = (gu * live)[:, None] * wu + (gv * live)[:, None] * wv \
+        - a[:, None] * ww
+    gd = tt[:, None] * go
+    return (jnp.zeros_like(boxes), jnp.zeros_like(meta), jnp.zeros_like(v0),
+            jnp.zeros_like(e1), jnp.zeros_like(e2), jnp.zeros_like(woop),
+            go, gd, jnp.zeros(tns), jnp.zeros(tfs))
+
+
+_bvh_closest_core.defvjp(_bvh_closest_fwd, _bvh_closest_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _bvh_any_core(max_depth, max_leaf, boxes, meta, v0, e1, e2,
+                  o, d, tnear, tfar):
+    from tpu_restir.accel.wide import BVH8Arrays, bvh8_any
+
+    bvh = BVH8Arrays(boxes=boxes, meta=meta, max_depth=max_depth,
+                     max_leaf=max_leaf)
+    return bvh8_any(bvh, v0, e1, e2, o, d, tnear, tfar)
+
+
+def _bvh_any_fwd(max_depth, max_leaf, boxes, meta, v0, e1, e2,
+                 o, d, tnear, tfar):
+    out = _bvh_any_core(max_depth, max_leaf, boxes, meta, v0, e1, e2,
+                        o, d, tnear, tfar)
+    return out, jax.tree.map(jnp.shape, (boxes, meta, v0, e1, e2,
+                                         o, d, tnear, tfar))
+
+
+def _bvh_any_bwd(max_depth, max_leaf, res, _g):
+    # boolean visibility is detached (the estimator treats V as data)
+    return tuple(jnp.zeros(s) for s in res)
+
+
+_bvh_any_core.defvjp(_bvh_any_fwd, _bvh_any_bwd)
+
+
+def _closest_chunk_bvh(o, d, tnear, tfar, scene):
+    return _bvh_closest_core(scene.bvh.max_depth, scene.bvh.max_leaf,
+                             scene.bvh.boxes, scene.bvh.meta, scene.tri_v0,
+                             scene.tri_e1, scene.tri_e2, scene.woop,
+                             o, d, tnear, tfar)
+
+
+def _any_chunk_bvh(o, d, tnear, tfar, scene):
+    return _bvh_any_core(scene.bvh.max_depth, scene.bvh.max_leaf,
+                         scene.bvh.boxes, scene.bvh.meta, scene.tri_v0,
+                         scene.tri_e1, scene.tri_e2, o, d, tnear, tfar)
+
+
+# ---------------------------------------------------------------------------
 # Cluster backend: Morton-cluster AABB culling (tpu_restir.accel.bvh) with
 # chunk-lockstep skipping — a ray chunk scans clusters and lax.cond-skips
 # any cluster none of its rays touch; visited clusters run the MXU woop
@@ -297,6 +394,10 @@ def _backend(scene, cfg: IntersectorConfig) -> str:
     if ray_tri.supports(scene) and jax.default_backend() != "cpu":
         # fused Pallas kernel: the whole test stays in VMEM (small scenes)
         return "fused"
+    if scene.bvh is not None and scene.num_tris > cfg.bvh_threshold:
+        # wide-BVH traversal: the only backend whose cost scales with
+        # visited nodes, not scene size — production path at scale
+        return "bvh"
     if scene.cluster_min is not None:
         return "cluster"
     return "woop_mxu" if scene.woop is not None else "brute"
@@ -319,7 +420,9 @@ def intersect_closest(scene, o, d, tnear, tfar,
         return Hit(t=jnp.where(hit, bt.reshape(shape), 0.0),
                    u=bu.reshape(shape), v=bv.reshape(shape),
                    tri=btri.reshape(shape), hit=hit)
-    if backend == "cluster":
+    if backend == "bvh":
+        fn = partial(_closest_chunk_bvh, scene=scene)
+    elif backend == "cluster":
         wb = _pad_woop(scene, scene.cluster_size)
         fn = partial(_closest_chunk_cluster, wb=wb, cmin=scene.cluster_min,
                      cmax=scene.cluster_max)
@@ -347,7 +450,9 @@ def intersect_any(scene, o, d, tnear, tfar,
                               shape).reshape(-1)
         return ray_tri.any_hit(scene, o.reshape(-1, 3), d.reshape(-1, 3),
                                tn, tf).reshape(shape)
-    if backend == "cluster":
+    if backend == "bvh":
+        fn = partial(_any_chunk_bvh, scene=scene)
+    elif backend == "cluster":
         wb = _pad_woop(scene, scene.cluster_size)
         fn = partial(_any_chunk_cluster, wb=wb, cmin=scene.cluster_min,
                      cmax=scene.cluster_max)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from tpu_restir.accel.wide import BVH8Arrays
 from tpu_restir.scene.lights import EmissiveCDF, build_emissive_cdf
 from tpu_restir.scene.materials import (MaterialSpec, MaterialTable,
                                         build_material_table)
@@ -40,6 +41,7 @@ class SceneArrays(struct.PyTreeNode):
     cluster_min: Optional[jnp.ndarray] = None   # (C, 3) Morton-cluster AABBs
     cluster_max: Optional[jnp.ndarray] = None   # (C, 3)
     cluster_size: int = struct.field(pytree_node=False, default=0)
+    bvh: Optional["BVH8Arrays"] = None          # wide BVH (accel.wide)
     # optional resources
     textures: Optional[jnp.ndarray] = None  # (T, TH, TW, 3) float32 stack
     envmap: Optional[jnp.ndarray] = None    # (He, We, 3) float32 equirect
@@ -66,14 +68,18 @@ def build_scene(
     v = np.asarray(vertices, np.float32)
     n_tris = v.shape[0]
 
-    # Morton-cluster the triangles and permute everything cluster-major so
-    # hit indices need no indirection (tpu_restir.accel.bvh).
+    # Build the wide BVH and permute everything leaf-major so hit/leaf
+    # indices need no indirection (tpu_restir.accel.{bvh,wide}). BVH leaf
+    # order is spatially coherent, so the Morton-cluster AABBs for the
+    # cluster-culling backend are just per-chunk bounds of the same order.
     cluster_min = cluster_max = None
+    bvh8 = None
     if n_tris > cluster_size:
-        from tpu_restir.accel.bvh import build_clusters
+        from tpu_restir.accel.bvh import build_bvh2
+        from tpu_restir.accel.wide import collapse_bvh8
 
-        cl = build_clusters(v, cluster_size)
-        perm = cl.order
+        bvh8 = collapse_bvh8(build_bvh2(v, leaf_size=4))
+        perm = bvh8.order
         v = v[perm]
         material_ids = np.asarray(material_ids)[perm]
         if vertex_normals is not None:
@@ -82,7 +88,13 @@ def build_scene(
             vertex_uvs = np.asarray(vertex_uvs)[perm]
         if vertex_tangents is not None:
             vertex_tangents = np.asarray(vertex_tangents)[perm]
-        cluster_min, cluster_max = cl.cluster_min, cl.cluster_max
+        # cluster AABBs over consecutive chunks of the permuted order
+        n_cl = -(-n_tris // cluster_size)
+        pad = n_cl * cluster_size - n_tris
+        vp = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)]) if pad else v
+        vc = vp.reshape(n_cl, cluster_size * 3, 3)
+        cluster_min = vc.min(axis=1).astype(np.float32)
+        cluster_max = vc.max(axis=1).astype(np.float32)
     e1 = v[:, 1] - v[:, 0]
     e2 = v[:, 2] - v[:, 0]
     areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
@@ -125,6 +137,7 @@ def build_scene(
         cluster_max=jnp.asarray(cluster_max) if cluster_max is not None
         else None,
         cluster_size=cluster_size if cluster_min is not None else 0,
+        bvh=bvh8.to_device() if bvh8 is not None else None,
         textures=jnp.asarray(textures) if textures is not None else None,
         envmap=jnp.asarray(envmap) if envmap is not None else None,
     )
