@@ -55,18 +55,34 @@ def timeit(name, fn, *args):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cornell",
+                    help="cornell | terrain:N | soup:N | many-lights:N")
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--no-bwd", action="store_true")
+    a = ap.parse_args()
+
+    view_from, view_at = (0.0, -3.9, 1.0), (0.0, 0.0, 1.0)
+    if a.scene.startswith("terrain"):
+        view_from, view_at = (0.0, -7.0, 4.0), (0.0, 0.0, 0.5)
     cfg = RenderConfig(
         camera=CameraConfig(width=W, height=H, fov_y_deg=45.0,
-                            view_from=(0.0, -3.9, 1.0),
-                            view_at=(0.0, 0.0, 1.0),
+                            view_from=view_from,
+                            view_at=view_at,
                             pixel_sampler="random"),
         params=RenderParams(use_skybox=False),
         restir=RestirParams(m_area=1, m_brdf=1, do_temporal_reuse=True,
                             do_spatial_reuse=True, spatial_neighbor_count=5,
                             spatial_mis="pairwise"),
-        intersector=IntersectorConfig(ray_chunk=1 << 18, tri_block=2048),
+        intersector=IntersectorConfig(ray_chunk=1 << 18, tri_block=2048,
+                                      backend=a.backend),
         integrator="restir")
-    scene = cornell_box()
+    from tpu_restir.cli import load_scene
+    scene = load_scene(a.scene)
+    print(f"scene {a.scene}: {scene.num_tris} tris, backend "
+          f"{intersect._backend(scene, cfg.intersector)}", flush=True)
     cam = cam_mod.make_camera(cfg.camera)
     seed = rng.make_frame_seed(0, 1)
     ys = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W))
@@ -102,6 +118,53 @@ def main():
         sync(frame)
     dt = (time.perf_counter() - t0) / REPS
     print(f"{'FULL FRAME STEP':24s} {dt * 1e3:9.1f} ms")
+
+    # ---- backward breakdown: grad of sum(pass output) w.r.t. material
+    # params, per pass (VERDICT round 1, weak item 1: find the 3.5x) -----
+    if not a.no_bwd:
+        from tpu_restir.diff.params import apply_params, extract_params
+
+        params = extract_params(scene)
+
+        def bwd_of(fn_of_scene):
+            def loss(p, *args):
+                out = fn_of_scene(apply_params(scene, p), *args)
+                return jnp.sum(jax.tree.leaves(out)[0])
+            return jax.jit(jax.grad(loss))
+
+        timeit("bwd gbuffer_fill", bwd_of(
+            lambda s, c: gb_mod.gbuffer_fill(s, c, cfg, seed, ys, xs)),
+            params, cam)
+        timeit("bwd initial_pass", bwd_of(
+            lambda s, g: initial_pass(seed, s, g, cfg, ys, xs)),
+            params, gb)
+        timeit("bwd temporal_pass", bwd_of(
+            lambda s, g, r: temporal_pass(seed, s, g, g, r, r, cfg, ys, xs,
+                                          gb_ext=g, gb_prev_ext=g,
+                                          ext_row0=0).w_sum),
+            params, gb, res)
+        timeit("bwd spatial_pass", bwd_of(
+            lambda s, g, r: spatial_pass(seed, 0, s, g, r, cfg, ys, xs,
+                                         gb_ext=g, res_ext=r,
+                                         ext_row0=0).w_sum),
+            params, gb, res_t)
+        timeit("bwd shade_pass", bwd_of(
+            lambda s, g, r: shade_pass(s, g, r, cfg)), params, gb, res_s)
+
+        # whole-frame fwd+bwd (the driver metric's denominator)
+        from tpu_restir.diff.render import loss_fn
+
+        target = jnp.zeros((H, W, 3))
+        vg = jax.jit(jax.value_and_grad(
+            lambda p: loss_fn(p, scene, cam, cfg, (1,), target)))
+        v, _ = vg(params)
+        sync(v)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            v, _ = vg(params)
+            sync(v)
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"{'FULL FRAME FWD+BWD':24s} {dt * 1e3:9.1f} ms")
 
     # raw intersection micro-benchmarks
     n = H * W

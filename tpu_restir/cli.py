@@ -22,6 +22,9 @@ from tpu_restir.config import (CameraConfig, RenderConfig, RenderParams,
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("tpu_restir",
                                 description="TPU-native ReSTIR renderer")
+    p.add_argument("--config", default=None,
+                   help="TOML/JSON render config; explicit CLI flags "
+                        "override file values")
     p.add_argument("--scene", default="cornell",
                    help="cornell | cornell-glossy | many-lights[:N] | "
                         "terrain[:N_TRIS] | soup[:N_TRIS] | path/to.obj")
@@ -64,6 +67,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also export every N frames")
     p.add_argument("--checkpoint", default=None,
                    help="path to save/resume renderer state")
+    p.add_argument("--view", action="store_true",
+                   help="live in-terminal progressive display")
+    p.add_argument("--orbit", type=float, default=0.0,
+                   help="orbit the camera N degrees per frame (with --view)")
+    p.add_argument("--profile-passes", action="store_true",
+                   help="per-pass device timing (slower; single-chip)")
+    p.add_argument("--debug-reprojection", action="store_true",
+                   help="paint temporal-rejection reasons into the frame")
+    p.add_argument("--show-weights", action="store_true",
+                   help="NEE/MIS: render MIS weights as R/G colors")
     return p
 
 
@@ -98,7 +111,49 @@ def load_scene(name: str):
     return load_obj_scene(name)
 
 
-def config_from_args(a) -> RenderConfig:
+def config_from_args(a, parser=None) -> RenderConfig:
+    if a.config:
+        from tpu_restir.config import load_config_file, replace
+
+        base = load_config_file(a.config)
+        # CLI overrides: only flags whose value differs from the parser
+        # default touch the file config
+        defaults = parser.parse_args([]) if parser else a
+        w, h = (int(v) for v in a.size.lower().split("x"))
+
+        def ov(name, value, transform=lambda x: x):
+            return transform(value) if getattr(a, name) != getattr(
+                defaults, name) else None
+
+        cam_kw = {k: v for k, v in dict(
+            width=ov("size", w), height=ov("size", h),
+            fov_y_deg=ov("fov", a.fov),
+            view_from=ov("view_from", a.view_from, _vec3),
+            view_at=ov("view_at", a.view_at, _vec3),
+            pixel_sampler=ov("pixel_sampler", a.pixel_sampler),
+        ).items() if v is not None}
+        params_kw = {k: v for k, v in dict(
+            max_bounce_count=ov("bounces", a.bounces),
+            denoise=ov("denoise", a.denoise),
+        ).items() if v is not None}
+        restir_kw = {k: v for k, v in dict(
+            m_area=ov("m_area", a.m_area), m_brdf=ov("m_brdf", a.m_brdf),
+            do_temporal_reuse=ov("temporal", a.temporal),
+            do_spatial_reuse=ov("spatial", a.spatial),
+            spatial_mis=ov("spatial_mis", a.spatial_mis),
+            spatial_neighbor_count=ov("neighbors", a.neighbors),
+        ).items() if v is not None}
+        top_kw = {k: v for k, v in dict(
+            integrator=ov("integrator", a.integrator),
+            direct_strategy=ov("direct", a.direct),
+            seed=ov("seed", a.seed),
+            n_devices=ov("devices", a.devices),
+        ).items() if v is not None}
+        return base.replace(
+            camera=replace(base.camera, **cam_kw),
+            params=replace(base.params, **params_kw),
+            restir=replace(base.restir, **restir_kw), **top_kw)
+
     w, h = (int(v) for v in a.size.lower().split("x"))
     return RenderConfig(
         camera=CameraConfig(width=w, height=h, fov_y_deg=a.fov,
@@ -120,14 +175,17 @@ def config_from_args(a) -> RenderConfig:
                             spatial_reuse_radius=a.radius,
                             spatial_mis=a.spatial_mis,
                             reject_dissimilar_neighbors=a.reject_dissimilar,
-                            confidence_cap=a.confidence_cap),
+                            confidence_cap=a.confidence_cap,
+                            debug_reprojection=a.debug_reprojection),
         integrator=a.integrator, direct_strategy=a.direct, seed=a.seed,
-        n_devices=a.devices)
+        n_devices=a.devices, show_weights=a.show_weights,
+        profile_passes=a.profile_passes)
 
 
 def main(argv=None) -> int:
-    a = build_parser().parse_args(argv)
-    cfg = config_from_args(a)
+    parser = build_parser()
+    a = parser.parse_args(argv)
+    cfg = config_from_args(a, parser)
     scene = load_scene(a.scene)
     if a.skybox:
         import jax.numpy as jnp
@@ -143,12 +201,18 @@ def main(argv=None) -> int:
         from tpu_restir.io.checkpoint import try_restore
 
         try_restore(r, a.checkpoint)
-    for i in range(a.frames):
-        r.step()
-        if a.export_every and (i + 1) % a.export_every == 0:
-            r.export(a.out)
-            print(f"frame {i + 1}/{a.frames} exported; "
-                  f"mean/var = {r.stats()}")
+    if a.view:
+        from tpu_restir.view import run_view
+
+        run_view(r, a.frames, orbit_deg_per_frame=a.orbit,
+                 refresh_every=max(a.export_every, 1))
+    else:
+        for i in range(a.frames):
+            r.step()
+            if a.export_every and (i + 1) % a.export_every == 0:
+                r.export(a.out)
+                print(f"frame {i + 1}/{a.frames} exported; "
+                      f"mean/var = {r.stats()}")
     r.export(a.out)
     if a.checkpoint:
         from tpu_restir.io.checkpoint import save

@@ -86,6 +86,9 @@ class RestirParams:
     reject_dissimilar_neighbors: bool = False
     min_normal_similarity: float = 0.85
     max_depth_difference: float = 0.2
+    # paint temporal-rejection reasons into the frame (reference
+    # debugReprojection, pg/ReSTIRIntegrator.cpp:647-689)
+    debug_reprojection: bool = False
 
 
 @dataclass(frozen=True)
@@ -127,10 +130,18 @@ class RenderConfig:
     ris_candidates: int = 8  # for DirectStrategy.RIS
     nee_calc_di: bool = True
     nee_calc_gi: bool = True
+    # debug view: render MIS weights as R/G colors instead of radiance
+    # (reference showWeights, pg/DirectMISIntegrator.cpp:80-81,134-135)
+    show_weights: bool = False
 
     seed: int = 123
     accumulate: bool = True
     max_acc_count: int = 100000
+    # run the ReSTIR pipeline pass-by-pass with device sync between
+    # passes, filling Renderer.timers (the reference's per-pass ms stats,
+    # pg/raytracer.cpp:56-75; pg/simpleguidx11.cpp:361-486). Slower than
+    # the fused frame step; single-chip only.
+    profile_passes: bool = False
 
     # distribution: rows sharded over this many devices (1 = single chip)
     n_devices: int = 1
@@ -143,3 +154,59 @@ class RenderConfig:
 def replace(cfg, **kw):
     """dataclasses.replace that reads as config.replace for sub-configs."""
     return dataclasses.replace(cfg, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Config files: TOML/JSON -> RenderConfig. Section names match the field
+# names ([camera], [params], [restir], [intersector]); top-level keys set
+# the RenderConfig scalars. CLI flags override file values
+# (tpu_restir.cli --config).
+# ---------------------------------------------------------------------------
+
+_SECTIONS = {
+    "camera": CameraConfig,
+    "params": RenderParams,
+    "restir": RestirParams,
+    "intersector": IntersectorConfig,
+}
+
+
+def _build_section(cls, d: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kw = {}
+    for k, v in d.items():
+        if k not in fields:
+            raise KeyError(f"unknown {cls.__name__} key {k!r}")
+        if isinstance(v, list):
+            v = tuple(v)
+        kw[k] = v
+    return cls(**kw)
+
+
+def config_from_dict(d: dict) -> RenderConfig:
+    """Nested dict (parsed TOML/JSON) -> RenderConfig."""
+    kw = {}
+    top_fields = {f.name for f in dataclasses.fields(RenderConfig)}
+    for k, v in d.items():
+        if k in _SECTIONS:
+            kw[k] = _build_section(_SECTIONS[k], v)
+        elif k in top_fields:
+            kw[k] = tuple(v) if isinstance(v, list) else v
+        else:
+            raise KeyError(f"unknown config key {k!r}")
+    return RenderConfig(**kw)
+
+
+def load_config_file(path: str) -> RenderConfig:
+    """Load a .toml or .json render config."""
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as f:
+            return config_from_dict(tomllib.load(f))
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as f:
+            return config_from_dict(json.load(f))
+    raise ValueError(f"config file must be .toml or .json, got {path!r}")

@@ -39,6 +39,11 @@ def try_restore(renderer, path: str) -> bool:
     renderer.acc_ctr = int(data["acc_ctr"])
     renderer.frame_ctr = int(data["frame_ctr"])
     renderer.render_time = float(data["render_time"])
+    # resume wall-clock accounting from the saved total
+    renderer._time_base = renderer.render_time
+    import time
+
+    renderer._t_reset = time.perf_counter()
     if renderer._restir_state is not None and "restir_n" in data:
         n = int(data["restir_n"])
         leaves, treedef = jax.tree.flatten(renderer._restir_state)

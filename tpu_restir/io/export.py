@@ -34,7 +34,8 @@ def _vec3(v) -> str:
 
 def write_sidecar(path: str, *, iterations: int, restir, render_time_s: float,
                   image_mean: float, image_variance: float,
-                  cam_pos, cam_view_at, fov_deg: float) -> None:
+                  cam_pos, cam_view_at, fov_deg: float,
+                  pass_times_ms: Optional[dict] = None) -> None:
     """Write `<image>.txt` with the same fields and layout as the
     reference (pg/simpleguidx11.cpp:627-650)."""
     lines = [
@@ -55,6 +56,11 @@ def write_sidecar(path: str, *, iterations: int, restir, render_time_s: float,
         f"Camera view at: {_vec3(cam_view_at)}",
         f"Camera vertical FOV: {fov_deg:g}",
     ]
+    if pass_times_ms:
+        # per-pass ms (shown by the reference's stats panel,
+        # pg/raytracer.cpp:56-75; recorded when profile_passes is on)
+        lines += ["", "Pass times (ms):"]
+        lines += [f"\t{name}: {ms:.2f}" for name, ms in pass_times_ms.items()]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -62,10 +68,11 @@ def write_sidecar(path: str, *, iterations: int, restir, render_time_s: float,
 def export_image(path: str, display_img, *, iterations: int, restir,
                  render_time_s: float, image_mean: float,
                  image_variance: float, cam_pos, cam_view_at,
-                 fov_deg: float) -> None:
+                 fov_deg: float, pass_times_ms: Optional[dict] = None) -> None:
     """PNG + sidecar pair, the full reference export behavior."""
     save_png(path, display_img)
     write_sidecar(path + ".txt", iterations=iterations, restir=restir,
                   render_time_s=render_time_s, image_mean=image_mean,
                   image_variance=image_variance, cam_pos=cam_pos,
-                  cam_view_at=cam_view_at, fov_deg=fov_deg)
+                  cam_view_at=cam_view_at, fov_deg=fov_deg,
+                  pass_times_ms=pass_times_ms)

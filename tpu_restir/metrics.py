@@ -25,19 +25,32 @@ def image_mean_variance(img: jnp.ndarray):
 
 class PassTimers:
     """Wall-clock per-pass timers (reference pg/simpleguidx11.h:120-127),
-    measured around blocking device sync."""
+    measured around blocking device sync:
+
+        with timers.measure("spatial") as done:
+            out = spatial(...)
+            done(out)   # block_until_ready(out) before stopping the clock
+    """
 
     def __init__(self):
         self.durations: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
 
     @contextmanager
-    def measure(self, name: str, result=None):
+    def measure(self, name: str):
+        holder = []
         t0 = time.perf_counter()
-        yield
-        if result is not None:
-            jax.block_until_ready(result)
+        yield holder.append
+        if holder:
+            jax.block_until_ready(holder[-1])
         self.durations[name] = self.durations.get(name, 0.0) \
             + (time.perf_counter() - t0)
+        self.counts[name] = self.counts.get(name, 0) + 1
+
+    def mean_ms(self) -> Dict[str, float]:
+        """Average per-invocation milliseconds per pass."""
+        return {k: 1e3 * v / max(self.counts.get(k, 1), 1)
+                for k, v in self.durations.items()}
 
     def total(self) -> float:
         return sum(self.durations.values())

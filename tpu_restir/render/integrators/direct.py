@@ -84,10 +84,13 @@ def direct_brdf(key, scene, p, cfg, point, normal, m, d, from_inside, dst):
 
 def direct_mis(key, scene, p, cfg, point, normal, m, d, from_inside, dst):
     """Both strategies, power-heuristic weighted
-    (pg/DirectMISIntegrator.cpp:38-144)."""
+    (pg/DirectMISIntegrator.cpp:38-144). With cfg.show_weights the MIS
+    weights render as colors instead of radiance — BRDF-side weight in R,
+    light-side weight in G (pg/DirectMISIntegrator.cpp:80-81, 134-135)."""
     k_l, k_b = jax.random.split(key)
     out = jnp.zeros_like(point)
     shape = point.shape[:-1]
+    show = getattr(cfg, "show_weights", False)
 
     # --- BRDF side (evaluateBRDFSample)
     s, hi, m2 = _trace_brdf_sample(k_b, scene, p, cfg, point, normal, m, d,
@@ -100,8 +103,13 @@ def direct_mis(key, scene, p, cfg, point, normal, m, d, from_inside, dst):
     pdf_as_light = lights_mod.pdf_for_any_light_point(scene, shape) \
         if scene.lights.is_valid else jnp.zeros(shape)
     w_b = mathx.power_heuristic(pdf_b_area, pdf_as_light)
-    contrib_b = m2.emission * s.f_r * jnp.where(
-        s.pdf > 0.0, w_b * cosi_b / jnp.maximum(s.pdf, 1e-30), 0.0)[..., None]
+    if show:
+        contrib_b = jnp.stack([w_b, jnp.zeros(shape), jnp.zeros(shape)],
+                              axis=-1)
+    else:
+        contrib_b = m2.emission * s.f_r * jnp.where(
+            s.pdf > 0.0, w_b * cosi_b / jnp.maximum(s.pdf, 1e-30),
+            0.0)[..., None]
     out += jnp.where(ok_b[..., None], contrib_b, 0.0)
 
     # --- light side (evaluateLightSample)
@@ -119,8 +127,12 @@ def direct_mis(key, scene, p, cfg, point, normal, m, d, from_inside, dst):
         w_l = mathx.power_heuristic(ls["pdf_area"], pdf_if_brdf_area)
         g = cosi_l * cosy_l / jnp.maximum(r2_l, 1e-20)
         f_r = brdf.eval_bsdf(m, normal, d, wi_l)
-        contrib_l = ls["l_i"] * f_r * (
-            w_l * g / jnp.maximum(ls["pdf_area"], 1e-20))[..., None]
+        if show:
+            contrib_l = jnp.stack([jnp.zeros(shape), w_l, jnp.zeros(shape)],
+                                  axis=-1)
+        else:
+            contrib_l = ls["l_i"] * f_r * (
+                w_l * g / jnp.maximum(ls["pdf_area"], 1e-20))[..., None]
         out += jnp.where((facing & ~occ & (w_l > 0.0))[..., None],
                          contrib_l, 0.0)
     return out

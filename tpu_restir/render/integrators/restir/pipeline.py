@@ -101,11 +101,15 @@ def restir_step(scene, cam, cfg, frame_seed, state: RestirState, frame_ctr,
     gb_ext = extend(gb) if (r.do_temporal_reuse or r.do_spatial_reuse) \
         else gb
 
+    reasons = None
     if r.do_temporal_reuse:
         res_t = temporal_pass(frame_seed, scene, gb, state.gb_prev, res,
                               state.res_prev, cfg, ys, xs,
                               gb_ext=gb_ext, gb_prev_ext=extend(state.gb_prev),
-                              ext_row0=ext_row0)
+                              ext_row0=ext_row0,
+                              return_reasons=r.debug_reprojection)
+        if r.debug_reprojection:
+            res_t, reasons = res_t
         # no temporal reuse on the very first frame (frameCtr > 0 gate,
         # pg/simpleguidx11.cpp:408)
         res = rsv.select(jnp.broadcast_to(frame_ctr > 0, res.w_sum.shape),
@@ -118,6 +122,20 @@ def restir_step(scene, cam, cfg, frame_seed, state: RestirState, frame_ctr,
                                ext_row0=ext_row0)
 
     frame = shade_pass(scene, gb, res, cfg)
+    if reasons is not None:
+        # paint temporal-rejection reasons into the frame (the reference
+        # writes {100,*,*} into the emission buffer, which the display
+        # shows directly: pg/ReSTIRIntegrator.cpp:647-689; reason 4 is
+        # painted at the current pixel rather than the reference's
+        # scattered reprojected pixel)
+        colors = jnp.asarray([[0.0, 0.0, 0.0],       # accepted: untouched
+                              [100.0, 100.0, 0.0],   # invalid backward
+                              [0.0, 100.0, 0.0],     # depth rejection
+                              [100.0, 0.0, 100.0],   # invalid forward
+                              [0.0, 0.0, 100.0]])    # forward depth
+        painted = (reasons > 0) & jnp.broadcast_to(frame_ctr > 0,
+                                                   reasons.shape)
+        frame = jnp.where(painted[..., None], colors[reasons], frame)
     return frame, RestirState(res_prev=res, gb_prev=gb)
 
 

@@ -60,7 +60,7 @@ def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
                   gb_prev: gb_mod.GBuffer, res_cur: rsv.Reservoir,
                   res_prev: rsv.Reservoir, cfg, ys, xs, *,
                   gb_ext=None, gb_prev_ext=None,
-                  ext_row0=0) -> rsv.Reservoir:
+                  ext_row0=0, return_reasons: bool = False):
     p = cfg.params
     r = cfg.restir
     h, w = cfg.camera.height, cfg.camera.width
@@ -149,4 +149,14 @@ def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
     out = out.replace(w=jnp.where(
         final_p_hat > 0.0, out.w_sum / jnp.maximum(final_p_hat, 1e-30), 0.0))
 
-    return rsv.select(accept, out, res_cur)
+    result = rsv.select(accept, out, res_cur)
+    if not return_reasons:
+        return result
+    # rejection reason in cascade order (for the debugReprojection view,
+    # pg/ReSTIRIntegrator.cpp:644-689): 0 accepted, 1 invalid backward
+    # reprojection, 2 depth rejection, 3 invalid forward reprojection,
+    # 4 forward depth rejection
+    reasons = jnp.where(
+        ~rel_b, 1, jnp.where(~depth_ok, 2, jnp.where(
+            ~rel_f, 3, jnp.where(~depth_ok_p, 4, 0)))).astype(jnp.int32)
+    return result, reasons

@@ -66,8 +66,15 @@ class Renderer:
         self.acc_ctr = 0
         self.frame_ctr = 0
         self.render_time = 0.0
+        self._time_base = 0.0
+        self._t_reset = time.perf_counter()
         self.timers = metrics.PassTimers()
+        self._pass_fns = None
         self._restir_state = None
+        if cfg.profile_passes and (cfg.integrator != "restir"
+                                   or cfg.n_devices > 1):
+            raise ValueError("profile_passes requires the single-chip "
+                             "'restir' integrator")
         if cfg.integrator == "restir":
             from tpu_restir.render.integrators.restir.pipeline import (
                 init_restir_state, restir_step)
@@ -95,13 +102,29 @@ class Renderer:
         self.accumulator = jnp.zeros_like(self.accumulator)
         self.acc_ctr = 0
         self.render_time = 0.0
+        self._time_base = 0.0
+        self._t_reset = time.perf_counter()
+
+    def _sync_time(self):
+        """Sync the device and refresh render_time (wall clock since the
+        last reset, the reference's sidecar semantics)."""
+        jax.block_until_ready(self.accumulator)
+        self.render_time = self._time_base + (
+            time.perf_counter() - self._t_reset)
 
     def step(self) -> jnp.ndarray:
-        """Render one frame and fold it into the accumulator."""
-        t0 = time.perf_counter()
+        """Render one frame and fold it into the accumulator.
+
+        Dispatch is asynchronous — the host returns while the device
+        computes (the producer/consumer overlap of the reference's render
+        thread, pg/simpleguidx11.cpp:497-560, without the mutex). Sync
+        points are display()/stats()/export().
+        """
         if self.cfg.integrator == "restir":
             fseed = rng.make_frame_seed(self.cfg.seed, self.frame_ctr)
-            if self.cfg.n_devices > 1:
+            if self.cfg.profile_passes:
+                frame, self._restir_state = self._timed_step(fseed)
+            elif self.cfg.n_devices > 1:
                 frame, self._restir_state = self._restir_step(
                     self.scene, self.cam, fseed, self._restir_state,
                     jnp.asarray(self.frame_ctr))
@@ -115,17 +138,85 @@ class Renderer:
         # progressive lerp 1/(n+1) (pg/simpleguidx11.cpp:246-253)
         self.accumulator = self.accumulator + (
             frame - self.accumulator) / (self.acc_ctr + 1.0)
-        jax.block_until_ready(self.accumulator)
-        self.render_time += time.perf_counter() - t0
         self.acc_ctr += 1
         self.frame_ctr += 1
         if not self.cfg.accumulate or self.acc_ctr > self.cfg.max_acc_count:
             self.acc_ctr = 0
         return frame
 
+    def _timed_step(self, fseed):
+        """Pass-by-pass frame with device sync per pass, filling
+        self.timers (the reference's inline per-pass wall-clock timers,
+        pg/simpleguidx11.cpp:361-486)."""
+        from tpu_restir.render.integrators.restir import gbuffer as gb_mod
+        from tpu_restir.render.integrators.restir import reservoir as rsv
+        from tpu_restir.render.integrators.restir.initial import (
+            initial_pass, visibility_pass)
+        from tpu_restir.render.integrators.restir.pipeline import RestirState
+        from tpu_restir.render.integrators.restir.shade import shade_pass
+        from tpu_restir.render.integrators.restir.spatial import spatial_pass
+        from tpu_restir.render.integrators.restir.temporal import (
+            temporal_pass)
+
+        cfg = self.cfg
+        h, w = cfg.camera.height, cfg.camera.width
+        if self._pass_fns is None:
+            ys = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
+            xs = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w))
+            self._pass_fns = dict(
+                gbuffer=jax.jit(lambda s, c, fs: gb_mod.gbuffer_fill(
+                    s, c, cfg, fs, ys, xs)),
+                initial=jax.jit(lambda fs, s, g: initial_pass(
+                    fs, s, g, cfg, ys, xs)),
+                visibility=jax.jit(lambda s, g, r: visibility_pass(
+                    s, g, r, cfg)),
+                temporal=jax.jit(
+                    lambda fs, s, g, gp, r, rp, fc: rsv.select(
+                        jnp.broadcast_to(fc > 0, r.w_sum.shape),
+                        temporal_pass(fs, s, g, gp, r, rp, cfg, ys, xs,
+                                      gb_ext=g, gb_prev_ext=gp, ext_row0=0),
+                        r)),
+                spatial=[jax.jit(
+                    lambda fs, s, g, r, i=i: spatial_pass(
+                        fs, i, s, g, r, cfg, ys, xs, gb_ext=g, res_ext=r,
+                        ext_row0=0))
+                    for i in range(cfg.restir.spatial_pass_count)],
+                shade=jax.jit(lambda s, g, r: shade_pass(s, g, r, cfg)),
+            )
+        f = self._pass_fns
+        t = self.timers
+        fc = jnp.asarray(self.frame_ctr)
+        r_cfg = cfg.restir
+        with t.measure("gbuffer") as m:
+            gb = f["gbuffer"](self.scene, self.cam, fseed)
+            m(gb)
+        with t.measure("initial") as m:
+            res = f["initial"](fseed, self.scene, gb)
+            m(res)
+        if r_cfg.do_visibility_pass:
+            with t.measure("visibility") as m:
+                res = f["visibility"](self.scene, gb, res)
+                m(res)
+        if r_cfg.do_temporal_reuse:
+            with t.measure("temporal") as m:
+                res = f["temporal"](fseed, self.scene, gb,
+                                    self._restir_state.gb_prev, res,
+                                    self._restir_state.res_prev, fc)
+                m(res)
+        if r_cfg.do_spatial_reuse:
+            with t.measure("spatial") as m:
+                for i in range(r_cfg.spatial_pass_count):
+                    res = f["spatial"][i](fseed, self.scene, gb, res)
+                m(res)
+        with t.measure("shade") as m:
+            frame = f["shade"](self.scene, gb, res)
+            m(frame)
+        return frame, RestirState(res_prev=res, gb_prev=gb)
+
     def run(self, n_frames: int):
         for _ in range(n_frames):
             self.step()
+        self._sync_time()
         return self.accumulator
 
     def display(self) -> np.ndarray:
@@ -150,6 +241,7 @@ class Renderer:
         return np.asarray(out)
 
     def stats(self):
+        self._sync_time()
         m, v = metrics.image_mean_variance(self.accumulator)
         return float(m), float(v)
 
@@ -161,4 +253,5 @@ class Renderer:
             image_mean=mean, image_variance=var,
             cam_pos=np.asarray(self.cam.pos),
             cam_view_at=np.asarray(self.cam.view_at),
-            fov_deg=self.cfg.camera.fov_y_deg)
+            fov_deg=self.cfg.camera.fov_y_deg,
+            pass_times_ms=self.timers.mean_ms() or None)

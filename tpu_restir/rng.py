@@ -16,7 +16,6 @@ import jax
 # independent stream. (Analog of the reference's pass schedule,
 # pg/simpleguidx11.cpp:359-487.)
 PASS_PIXEL_JITTER = 0
-PASS_GBUFFER = 1
 PASS_INITIAL_AREA = 2
 PASS_INITIAL_BRDF = 3
 PASS_INITIAL_WRS = 4
@@ -25,8 +24,6 @@ PASS_SPATIAL = 6       # + pass index is folded in separately
 PASS_NAIVE = 7
 PASS_NEE_DIRECT = 8
 PASS_NEE_GI = 9
-PASS_RIS = 10
-PASS_APERTURE = 11
 
 
 def base_key(seed: int) -> jax.Array:
@@ -45,11 +42,6 @@ def pass_key(fkey: jax.Array, pass_id: int) -> jax.Array:
 def draw_key(pkey: jax.Array, draw: int) -> jax.Array:
     """Key for the i-th candidate/draw inside a pass."""
     return jax.random.fold_in(pkey, draw)
-
-
-def device_key(key: jax.Array, axis_name: str) -> jax.Array:
-    """Inside shard_map: decorrelate streams across mesh devices."""
-    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
 
 # ---------------------------------------------------------------------------
