@@ -22,6 +22,11 @@ from flax import struct
 
 
 class MatType:
+    # NORMAL is the reference's tag-only class (pg/MaterialNormal.h:4-7):
+    # it inherits the BASE Material behavior, which returns an empty
+    # PTInfoGI/BRDFEval — zero BRDF, invalid sample (pg/material.cpp:84-90).
+    # The dispatch below reproduces exactly that: NORMAL evaluates to zero
+    # and never produces a valid bounce.
     NORMAL = 0
     LAMBERT = 1
     PHONG = 2

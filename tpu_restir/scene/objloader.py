@@ -38,6 +38,16 @@ def _expand_np(c):
 
 
 def _load_image(path: str, srgb: bool) -> Optional[np.ndarray]:
+    """LDR via PIL (sRGB-expanded like the reference's gamma handling);
+    HDR formats load as linear float and skip the expand (the reference's
+    pixel_size > 4 path, pg/Texture.cpp:91-98)."""
+    if path.lower().endswith((".hdr", ".exr", ".pfm")):
+        try:
+            from tpu_restir.scene.envmap import load_hdr
+
+            return load_hdr(path)
+        except Exception:
+            return None
     try:
         from PIL import Image
 

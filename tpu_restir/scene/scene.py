@@ -19,6 +19,7 @@ from tpu_restir.accel.wide import BVH8Arrays
 from tpu_restir.scene.lights import EmissiveCDF, build_emissive_cdf
 from tpu_restir.scene.materials import (MaterialSpec, MaterialTable,
                                         build_material_table)
+from tpu_restir.scene.textures import TextureStack
 
 
 class SceneArrays(struct.PyTreeNode):
@@ -43,8 +44,8 @@ class SceneArrays(struct.PyTreeNode):
     cluster_size: int = struct.field(pytree_node=False, default=0)
     bvh: Optional["BVH8Arrays"] = None          # wide BVH (accel.wide)
     # optional resources
-    textures: Optional[jnp.ndarray] = None  # (T, TH, TW, 3) float32 stack
-    envmap: Optional[jnp.ndarray] = None    # (He, We, 3) float32 equirect
+    textures: Optional[TextureStack] = None  # native-res padded stack
+    envmap: Optional[jnp.ndarray] = None     # (He, We, 3) float32 equirect
 
     @property
     def num_tris(self) -> int:
@@ -138,6 +139,18 @@ def build_scene(
         else None,
         cluster_size=cluster_size if cluster_min is not None else 0,
         bvh=bvh8.to_device() if bvh8 is not None else None,
-        textures=jnp.asarray(textures) if textures is not None else None,
+        textures=_as_texture_stack(textures),
         envmap=jnp.asarray(envmap) if envmap is not None else None,
     )
+
+
+def _as_texture_stack(textures) -> Optional[TextureStack]:
+    """Accept a TextureStack or a raw uniform (T, H, W, 3) array."""
+    if textures is None or isinstance(textures, TextureStack):
+        return textures
+    arr = np.asarray(textures, np.float32)
+    t, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
+    return TextureStack(data=jnp.asarray(arr),
+                        sizes=jnp.tile(jnp.asarray([h, w], jnp.int32),
+                                       (t, 1)),
+                        modes=jnp.zeros((t,), jnp.int32))
