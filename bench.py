@@ -111,11 +111,45 @@ def main():
     dt_bwd = (time.perf_counter() - t0) / n_bwd
     mrays_fwd_bwd = rays_frame / dt_bwd / 1e6
 
+    # --- secondary scene configs (BASELINE.json config 3 many-lights;
+    # VERDICT round-1 item 1 large-scene story). Guarded: a failure or
+    # slow compile of a secondary metric must never lose the main one.
+    extras = []
+    for label, scene_fn, n_frames in (
+            ("lights1k", lambda: __import__(
+                "tpu_restir.scene.cornell", fromlist=["many_lights_scene"]
+            ).many_lights_scene(1000), 4),
+            ("terrain100k", lambda: __import__(
+                "tpu_restir.scene.procedural", fromlist=["terrain_scene"]
+            ).terrain_scene(100_000), 4)):
+        try:
+            sc = scene_fn()
+            cam2 = cam_mod.make_camera(cfg.camera) if label == "lights1k" \
+                else cam_mod.make_camera(cfg.camera.__class__(
+                    width=WIDTH, height=HEIGHT, fov_y_deg=45.0,
+                    view_from=(0.0, -7.0, 4.0), view_at=(0.0, 0.0, 0.5),
+                    pixel_sampler="random"))
+            st = init_restir_state(HEIGHT, WIDTH)
+            frame, st = step(sc, cam2, cfg, rng.make_frame_seed(0, 0), st,
+                             jnp.asarray(0))
+            float(jnp.sum(frame))
+            t0 = time.perf_counter()
+            for f in range(1, n_frames + 1):
+                frame, st = step(sc, cam2, cfg, rng.make_frame_seed(0, f),
+                                 st, jnp.asarray(f))
+                float(jnp.sum(frame))
+            dt2 = time.perf_counter() - t0
+            extras.append(
+                f"{label} {rays_frame * n_frames / dt2 / 1e6:.1f}")
+        except Exception as e:  # noqa: BLE001 — secondary metric only
+            extras.append(f"{label} failed:{type(e).__name__}")
+
     baseline_mrays = 2.0  # reference CPU fwd (BASELINE.md derived throughput)
     print(json.dumps({
         "metric": "restir_1080p_mrays_per_s_fwd_bwd",
         "value": round(mrays_fwd_bwd, 2),
-        "unit": "Mrays/s (fwd " + str(round(mrays_fwd, 1)) + ")",
+        "unit": ("Mrays/s (fwd " + str(round(mrays_fwd, 1))
+                 + "; " + "; ".join(extras) + ")"),
         "vs_baseline": round(mrays_fwd_bwd / baseline_mrays, 2),
     }))
 

@@ -82,6 +82,33 @@ def test_gather_local_vjp_matches_scatter_add():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_gather_local_halo_extended_payload():
+    """ext_top > 0: taps into a halo-extended strip (the sharded spatial
+    pass) must match the flat row gather, forward and backward."""
+    rng = np.random.default_rng(10)
+    h, w, c, k, r, halo = 16, 128, 5, 4, 4, 6
+    eh = h + 2 * halo
+    payload = jnp.asarray(rng.standard_normal((eh, w, c)), jnp.float32)
+    # taps in payload coords: |tys - (row + halo)| <= r
+    ys = np.arange(h)[None, :, None] + halo \
+        + rng.integers(-r, r + 1, (k, h, w))
+    xs = np.arange(w)[None, None, :] + rng.integers(-r, r + 1, (k, h, w))
+    tys = jnp.asarray(np.clip(ys, 0, eh - 1), jnp.int32)
+    txs = jnp.asarray(np.clip(xs, 0, w - 1), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((k, h, w, c)), jnp.float32)
+
+    got = lg.gather_local(payload, tys, txs, r, top=halo)
+    want = pk.gather_packed(payload, tys, txs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    g_k = jax.grad(lambda p: jnp.sum(
+        lg.gather_local(p, tys, txs, r, top=halo) * cot))(payload)
+    g_r = jax.grad(lambda p: jnp.sum(
+        pk.gather_packed(p, tys, txs) * cot))(payload)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               rtol=1e-6, atol=1e-6)
+
+
 def _random_rays(rng, scene_extent, n):
     o = rng.uniform(-scene_extent, scene_extent, (n, 3)).astype(np.float32)
     d = rng.standard_normal((n, 3)).astype(np.float32)

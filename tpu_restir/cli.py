@@ -186,6 +186,12 @@ def main(argv=None) -> int:
     parser = build_parser()
     a = parser.parse_args(argv)
     cfg = config_from_args(a, parser)
+    if cfg.n_devices > 1:
+        # multi-host: no-op single-process, initializes jax.distributed
+        # when a coordinator is configured in the environment
+        from tpu_restir.dist.mesh import init_distributed
+
+        init_distributed()
     scene = load_scene(a.scene)
     if a.skybox:
         import jax.numpy as jnp

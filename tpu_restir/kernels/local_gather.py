@@ -41,6 +41,11 @@ PAD = 8    # image padding == max supported offset radius
 # suite can check them against the XLA fallback without TPU hardware.
 INTERPRET = False
 
+# Backward-path selector (measured at 1080p x 32ch x 5 taps: the Pallas
+# scatter-transpose makes the full-frame fwd+bwd 2.4x faster than the
+# XLA scatter-add transpose — 683 ms vs 1649 ms).
+SCATTER_KERNEL = True
+
 
 def _kernel(dy_ref, dx_ref, payload_hbm, out_ref, win, sem, *, r, k_taps,
             c_ch):
@@ -89,27 +94,40 @@ def _kernel(dy_ref, dx_ref, payload_hbm, out_ref, win, sem, *, r, k_taps,
     jax.lax.fori_loop(0, c_ch, body, 0, unroll=False)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-@functools.partial(jax.jit, static_argnames=("r",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnames=("r", "top"))
 def gather_local(payload: jnp.ndarray, tys: jnp.ndarray, txs: jnp.ndarray,
-                 r: int) -> jnp.ndarray:
-    """payload (H, W, C) f32, absolute tap coords tys/txs (K, H, W) int32
-    with |tap - pixel| <= r <= PAD (pre-clamped to the screen).
-    Returns (K, H, W, C) f32: payload[tys, txs, :].
+                 r: int, top: int = 0) -> jnp.ndarray:
+    """payload (EH, W, C) f32, tap coords tys/txs (K, H, W) int32 in
+    PAYLOAD coordinates with |tys - (pixel_row + top)| <= r <= PAD
+    (pre-clamped). Returns (K, H, W, C) f32: payload[tys, txs, :].
 
-    Differentiable in payload (gather transpose = scatter-add, so
-    gradients flow through neighbor reuse exactly like the XLA-gather
-    fallback path).
+    `top` (static) is the payload row where output row 0 sits — 0 for a
+    same-shape payload, the halo width for a halo-extended strip
+    (tpu_restir.dist.halo.extend_rows), so the sharded spatial pass keeps
+    this kernel instead of falling back to an XLA gather.
+
+    Differentiable in payload (gather transpose = scatter-add; the
+    Pallas scatter kernel serves the same-shape case, extended payloads
+    take the XLA scatter-add transpose).
     """
-    h, w, c = payload.shape
-    k = tys.shape[0]
+    eh, w, c = payload.shape
+    k, h = tys.shape[0], tys.shape[1]
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
-    dy = tys - ys
+    dy = tys - (ys + top)
     dx = txs - xs
 
-    pcf = jnp.transpose(payload, (2, 0, 1))          # (C, H, W)
-    pcf = jnp.pad(pcf, ((0, 0), (PAD, PAD), (PAD, 128 - PAD)))
+    pcf = jnp.transpose(payload, (2, 0, 1))          # (C, EH, W)
+    # bring the payload into the kernel's padded frame: rows
+    # [top - PAD, top + h + PAD) — real halo rows serve as padding where
+    # they exist, zeros elsewhere
+    lo = top - PAD
+    hi = top + h + PAD
+    pad_top = max(0, -lo)
+    pad_bot = max(0, hi - eh)
+    pcf = jnp.pad(pcf, ((0, 0), (pad_top, pad_bot), (PAD, 128 - PAD)))
+    pcf = pcf[:, lo + pad_top:hi + pad_top]
     grid = (h // BR, w // BC)
     out = pl.pallas_call(
         functools.partial(_kernel, r=r, k_taps=k, c_ch=c),
@@ -227,18 +245,21 @@ def _scatter_local_transpose(g, tys, txs, r, h, w, c):
     return jnp.transpose(out, (1, 2, 0))
 
 
-def _gather_local_fwd(payload, tys, txs, r):
-    return gather_local(payload, tys, txs, r), (tys, txs, payload.shape)
+def _gather_local_fwd(payload, tys, txs, r, top):
+    return gather_local(payload, tys, txs, r, top), (tys, txs, payload.shape)
 
 
-def _gather_local_bwd(r, res, g):
-    tys, txs, (h, w, c) = res
-    if supports(h, w, r):
-        gp = _scatter_local_transpose(g, tys, txs, r, h, w, c)
+def _gather_local_bwd(r, top, res, g):
+    tys, txs, (eh, w, c) = res
+    if (SCATTER_KERNEL and top == 0 and eh == tys.shape[1]
+            and supports(eh, w, r)):
+        gp = _scatter_local_transpose(g, tys, txs, r, eh, w, c)
     else:
+        # extended payloads: XLA scatter-add transpose (tys are payload
+        # coordinates already)
         idx = (tys * w + txs).reshape(-1)
-        gp = jnp.zeros((h * w, c), g.dtype).at[idx].add(
-            g.reshape(-1, c)).reshape(h, w, c)
+        gp = jnp.zeros((eh * w, c), g.dtype).at[idx].add(
+            g.reshape(-1, c)).reshape(eh, w, c)
     return gp, None, None
 
 

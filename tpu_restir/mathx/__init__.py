@@ -81,6 +81,23 @@ def length(v):
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
 
 
+def safe_sqrt(x):
+    """AD-safe sqrt(max(x, 0)): sqrt'(0) = inf turns masked cotangents
+    into NaN (e.g. lobe samples where z rounds to exactly 1.0f)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def safe_pow(base, exp):
+    """AD-safe base**exp for base >= 0 with a differentiable exponent:
+    d/d(exp) = base**exp * ln(base) is NaN at base == 0 (0 * -inf through
+    the where), which poisons shininess gradients for every pixel whose
+    lobe dot is clamped to 0. Forward matches std::pow incl. pow(0,0)=1."""
+    pos = base > 0.0
+    p = jnp.power(jnp.where(pos, base, 1.0), exp)
+    return jnp.where(pos, p, jnp.where(exp == 0.0, 1.0, 0.0))
+
+
 def normalize(v):
     """Safe normalize: zero vectors map to zero (not NaN)."""
     n2 = dot1(v, v)

@@ -65,9 +65,10 @@ def calc_i_m(n_dot_v, n):
         big_n, cost * halfn * ibeta_nonnorm(sin2, halfn, 0.5), cost)
 
     gq = gamma_quot(halfn + 0.5, halfn + 1.0)
-    # s^(n/2): guard 0^0 -> 1 like std::pow
-    pow_term = jnp.where(
-        (sin2 == 0.0) & (halfn == 0.0), 1.0,
-        jnp.power(jnp.maximum(sin2, 0.0), halfn))
+    # s^(n/2) via the AD-safe power (guards 0^0 -> 1 like std::pow AND
+    # the 0 * ln(0) shininess-gradient NaN)
+    from tpu_restir import mathx
+
+    pow_term = mathx.safe_pow(jnp.maximum(sin2, 0.0), halfn)
 
     return (_TWO_PI * cost + _ROOT_PI * gq * (pow_term - negterm)) / (n + 2.0)

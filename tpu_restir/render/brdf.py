@@ -65,7 +65,8 @@ def _phong_eval(d_refl, s_refl, shininess, n, d, omega_i, inv_i_m=None):
     omega_r = mathx.normalize(mathx.reflect(d, n))
     if inv_i_m is None:
         inv_i_m = 1.0 / calc_i_m(mathx.dot(-d, n), shininess)
-    lobe = jnp.power(jnp.maximum(mathx.dot(omega_i, omega_r), 0.0), shininess)
+    lobe = mathx.safe_pow(jnp.maximum(mathx.dot(omega_i, omega_r), 0.0),
+                          shininess)
     return d_refl * _INV_PI + s_refl * (inv_i_m * lobe)[..., None]
 
 
@@ -99,7 +100,8 @@ def _phong_sample_u(u5, d_refl, s_refl, shininess, n, d, inv_i_m=None):
 
     if inv_i_m is None:
         inv_i_m = 1.0 / calc_i_m(mathx.dot(-d, n), shininess)
-    lobe = jnp.power(jnp.maximum(mathx.dot(omega_i, omega_r), 0.0), shininess)
+    lobe = mathx.safe_pow(jnp.maximum(mathx.dot(omega_i, omega_r), 0.0),
+                          shininess)
     f_d = d_refl * _INV_PI
     f_s = s_refl * (inv_i_m * lobe)[..., None]
     f_r = jnp.where(diffuse_branch[..., None], f_d, f_s)

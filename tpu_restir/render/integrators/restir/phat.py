@@ -9,12 +9,23 @@ occlusion query.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from tpu_restir import mathx
 from tpu_restir.render import brdf, intersect
 from tpu_restir.render.integrators.restir.gbuffer import GBuffer
 from tpu_restir.render.integrators.restir.reservoir import LightSample
+
+# p_hat is evaluated O(M) times per frame; storing each call's shading
+# intermediates for the backward pass is pure HBM traffic. Remat policy:
+# save ONLY the occlusion booleans (1 byte/pixel; their kernel must not
+# rerun in the backward — visibility is detached anyway) and recompute
+# the cheap VPU math from the already-live gb/sample inputs.
+_SAVE_OCCLUSION = jax.checkpoint_policies.save_only_these_names("occlusion")
 
 
 def evaluate_f(sample: LightSample, scene, gb: GBuffer, test_visibility,
@@ -33,14 +44,19 @@ def evaluate_f(sample: LightSample, scene, gb: GBuffer, test_visibility,
     f_r = brdf.gbuf_eval_brdf(gb, wi)
     f = sample.l_i * f_r * g[..., None]
     if test_visibility:
-        occ = intersect.test_occlusion(scene, gb.pos, sample.point, params,
-                                       intersector)
+        occ = checkpoint_name(
+            intersect.test_occlusion(scene, gb.pos, sample.point, params,
+                                     intersector), "occlusion")
         ok = ok & ~occ
     return jnp.where(ok[..., None], f, 0.0)
 
 
 def evaluate_p_hat(sample: LightSample, scene, gb: GBuffer, test_visibility,
                    params, intersector) -> jnp.ndarray:
-    """p_hat = |f| (pg/ReSTIRIntegrator.cpp:180-183)."""
-    return mathx.length(
-        evaluate_f(sample, scene, gb, test_visibility, params, intersector))
+    """p_hat = |f| (pg/ReSTIRIntegrator.cpp:180-183), rematerialized in
+    the backward pass under the save-occlusion policy above."""
+    fn = jax.checkpoint(
+        partial(evaluate_f, test_visibility=test_visibility, params=params,
+                intersector=intersector),
+        policy=_SAVE_OCCLUSION)
+    return mathx.length(fn(sample, scene, gb))

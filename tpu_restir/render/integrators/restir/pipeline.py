@@ -116,10 +116,14 @@ def restir_step(scene, cam, cfg, frame_seed, state: RestirState, frame_ctr,
                          res_t, res)
 
     if r.do_spatial_reuse:
+        # static payload-row offset of output row 0 for the windowed
+        # gather kernel: 0 unsharded, halo for ppermute-extended strips,
+        # None (dynamic) for the all-gather fallback
+        ext_top = None if use_gather else (halo if axis_name else 0)
         for i in range(r.spatial_pass_count):
             res = spatial_pass(frame_seed, i, scene, gb, res, cfg, ys, xs,
                                gb_ext=gb_ext, res_ext=extend(res),
-                               ext_row0=ext_row0)
+                               ext_row0=ext_row0, ext_top=ext_top)
 
     frame = shade_pass(scene, gb, res, cfg)
     if reasons is not None:

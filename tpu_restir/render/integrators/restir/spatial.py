@@ -35,7 +35,8 @@ from tpu_restir.render.sampling import disk_from_uniforms
 
 def spatial_pass(frame_seed, pass_idx: int, scene, gb: gb_mod.GBuffer,
                  res_in: rsv.Reservoir, cfg, ys, xs, *,
-                 gb_ext=None, res_ext=None, ext_row0=0) -> rsv.Reservoir:
+                 gb_ext=None, res_ext=None, ext_row0=0,
+                 ext_top=0) -> rsv.Reservoir:
     p = cfg.params
     r = cfg.restir
     h, w = cfg.camera.height, cfg.camera.width
@@ -75,9 +76,15 @@ def spatial_pass(frame_seed, pass_idx: int, scene, gb: gb_mod.GBuffer,
                         for i in range(1, n_cand)])
     tap_xs = jnp.stack(cand_gx[1:])
     r_bound = int(math.floor(math.sqrt(max(r.spatial_reuse_radius, 0.0))))
-    if (gb_ext.depth.shape == gb.depth.shape
-            and lg.supports(h, w, r_bound)):
-        taps = lg.gather_local(payload, tap_ys, tap_xs, r_bound)
+    # the Pallas windowed gather serves both the same-shape payload
+    # (ext_top=0) and halo-extended strips (ext_top=halo, a static int);
+    # all-gathered fallbacks have a traced row offset (ext_top=None) and
+    # take the XLA row gather
+    if (ext_top is not None
+            and ext_h == shape[0] + 2 * ext_top
+            and lg.supports(shape[0], w, r_bound)):
+        taps = lg.gather_local(payload, tap_ys, tap_xs, r_bound,
+                               top=ext_top)
     else:
         taps = pk.gather_packed(payload, tap_ys, tap_xs)  # (K, h, w, 32)
     gbs = [gb] + [pk.unpack_gb(taps[i - 1, ..., :pk.GB_CH], gb)

@@ -124,10 +124,10 @@ def cosine_hemisphere_from_uniforms(u, normal):
     (CosineWeightedDistribution::sample, pg/Distribution.h:9-31).
     u: (..., 2) uniforms."""
     r1, r2 = u[..., 0], u[..., 1]
-    sq = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+    sq = mathx.safe_sqrt(1.0 - r2)
     local = jnp.stack([jnp.cos(_TWO_PI * r1) * sq,
                        jnp.sin(_TWO_PI * r1) * sq,
-                       jnp.sqrt(jnp.maximum(r2, 0.0))], axis=-1)
+                       mathx.safe_sqrt(r2)], axis=-1)
     local = mathx.normalize(local)
     o1, o2 = mathx.onb(normal)
     return mathx.to_world(o1, o2, normal, local)
@@ -152,7 +152,7 @@ def cosine_lobe_from_uniforms(u, omega_r, gamma):
     r1, r2 = u[..., 0], u[..., 1]
     gamma = jnp.broadcast_to(jnp.asarray(gamma, jnp.float32), shape)
     z = jnp.power(jnp.maximum(r2, 1e-30), 1.0 / (gamma + 1.0))
-    sq = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    sq = mathx.safe_sqrt(1.0 - z * z)
     local = jnp.stack([jnp.cos(_TWO_PI * r1) * sq,
                        jnp.sin(_TWO_PI * r1) * sq,
                        z], axis=-1)
@@ -170,4 +170,4 @@ def sample_cosine_lobe(key: jax.Array, omega_r, gamma):
 def pdf_cosine_lobe(omega_i, omega_r, gamma):
     """(gamma+1)/(2 pi) * max(0, wi.wr)^gamma (CosineLobeDistribution::getPdf)."""
     c = jnp.maximum(mathx.dot(omega_i, omega_r), 0.0)
-    return (gamma + 1.0) / _TWO_PI * jnp.power(c, gamma)
+    return (gamma + 1.0) / _TWO_PI * mathx.safe_pow(c, gamma)
