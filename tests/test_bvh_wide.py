@@ -80,7 +80,9 @@ def test_bvh_matches_brute_any():
 def test_bvh_terrain_parity_and_auto_backend():
     scene = terrain_scene(20_000)
     assert scene.bvh is not None
-    assert intersect._backend(scene, IntersectorConfig()) == "bvh"
+    # auto now picks the packet-cluster backend at scale (round 3); the
+    # wide BVH stays available explicitly
+    assert intersect._backend(scene, IntersectorConfig()) == "fcluster"
     rng = np.random.default_rng(23)
     n = 1024
     # coherent-ish camera rays from above the terrain

@@ -62,7 +62,13 @@ def test_grad_matches_finite_differences(setup):
             eps = 3e-3
             for sign, store in [(+1, "hi"), (-1, "lo")]:
                 p = {"diffuse": params["diffuse"].at[mat, ch].add(sign * eps)}
-                v = float(loss_fn(p, scene, cam, cfg, seeds, target))
+                # loss in float64 from the f32 render: the FD numerator is
+                # ~2*eps*g ~ 1e-6, below f32 accumulation noise of a
+                # 768-term sum-of-squares, so the loss reduction itself
+                # must be exact (the per-pixel render stays f32)
+                img = np.asarray(render_with_params(p, scene, cam, cfg,
+                                                    seeds), np.float64)
+                v = float(np.mean(img ** 2))
                 if sign > 0:
                     hi = v
                 else:

@@ -110,10 +110,18 @@ class CameraConfig:
 class IntersectorConfig:
     """Ray-scene intersection backend selection and tiling knobs."""
 
-    backend: str = "auto"  # "brute" | "woop_mxu" | "cluster" | "bvh" | "auto"
+    # "brute" | "woop_mxu" | "cluster" | "fcluster" | "bvh" | "fused" | "auto"
+    backend: str = "auto"
     ray_chunk: int = 1 << 18   # rays per lax.map chunk (tuned on v5e)
     tri_block: int = 2048      # triangles per scan block
-    bvh_threshold: int = 4096  # auto: wide-BVH traversal above this size
+    bvh_threshold: int = 4096  # auto: packet-cluster culling above this size
+    fused_max_tris: int = 512  # auto: fused Pallas kernel up to this size
+    packet_size: int = 256     # fcluster: rays per culling packet
+    shortlist_k: int = 8       # fcluster: clusters intersected per round
+    # fcluster: sort rays by (origin cell, direction) before packeting.
+    # Off by default (primary/shadow streams are already coherent);
+    # integrators turn it on for incoherent bounce-ray queries.
+    bin_rays: bool = False
 
 
 @dataclass(frozen=True)

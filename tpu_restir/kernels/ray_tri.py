@@ -65,31 +65,64 @@ def _woop_tuvok(rays, w, t_idx):
     return t, u, v, ok
 
 
-def _any_kernel(rays_ref, w_ref, out_ref, *, n_tris):
-    # fori_loop over triangles (SMEM scalar loads take a traced index):
-    # keeps the Mosaic program O(1) in scene size instead of unrolling
-    # ~35 VPU ops per triangle into the kernel body. The carry is f32,
-    # not bool — Mosaic cannot legalize an i1-vector loop carry.
-    def body(t_idx, occ):
-        _t, _u, _v, ok = _woop_tuvok(rays_ref, w_ref, t_idx)
-        return jnp.maximum(occ, ok.astype(jnp.float32))
+# Triangle-loop strategy: a straight fori_loop (round 2) costs a Mosaic
+# loop-carried dependency per triangle and lost ~30% forward throughput
+# at 1080p vs round 1's full unroll; a full unroll is O(scene) program
+# size. Hybrid: unroll completely up to _UNROLL_MAX triangles (covers
+# every BASELINE scene on the fused path), else run a fori_loop whose
+# body handles _UNROLL_W triangles (w rows padded to a multiple).
+_UNROLL_MAX = 128
+_UNROLL_W = 8
 
-    occ = jax.lax.fori_loop(0, n_tris, body, jnp.zeros((8, 128), jnp.float32))
+
+def _any_kernel(rays_ref, w_ref, out_ref, *, n_tris):
+    # the accumulator is f32, not bool — Mosaic cannot legalize an
+    # i1-vector loop carry
+    if n_tris <= _UNROLL_MAX:
+        occ = jnp.zeros((8, 128), jnp.float32)
+        for t_idx in range(n_tris):
+            _t, _u, _v, ok = _woop_tuvok(rays_ref, w_ref, t_idx)
+            occ = jnp.maximum(occ, ok.astype(jnp.float32))
+        out_ref[:] = occ
+        return
+
+    def body(i, occ):
+        for j in range(_UNROLL_W):
+            _t, _u, _v, ok = _woop_tuvok(rays_ref, w_ref,
+                                         i * _UNROLL_W + j)
+            occ = jnp.maximum(occ, ok.astype(jnp.float32))
+        return occ
+
+    occ = jax.lax.fori_loop(0, -(-n_tris // _UNROLL_W), body,
+                            jnp.zeros((8, 128), jnp.float32))
     out_ref[:] = occ
 
 
 def _closest_kernel(rays_ref, w_ref, out_ref, *, n_tris):
-    def body(t_idx, carry):
+    def step(t_idx, carry):
         bt, bu, bv, btri = carry
         t, u, v, ok = _woop_tuvok(rays_ref, w_ref, t_idx)
         better = ok & (t < bt)
         return (jnp.where(better, t, bt), jnp.where(better, u, bu),
                 jnp.where(better, v, bv),
-                jnp.where(better, t_idx.astype(jnp.float32), btri))
+                jnp.where(better,
+                          jnp.float32(t_idx) if isinstance(t_idx, int)
+                          else t_idx.astype(jnp.float32), btri))
 
     init = (jnp.full((8, 128), _INF), jnp.zeros((8, 128), jnp.float32),
             jnp.zeros((8, 128), jnp.float32), jnp.full((8, 128), -1.0))
-    bt, bu, bv, btri = jax.lax.fori_loop(0, n_tris, body, init)
+    if n_tris <= _UNROLL_MAX:
+        carry = init
+        for t_idx in range(n_tris):
+            carry = step(t_idx, carry)
+    else:
+        def body(i, carry):
+            for j in range(_UNROLL_W):
+                carry = step(i * _UNROLL_W + j, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, -(-n_tris // _UNROLL_W), body, init)
+    bt, bu, bv, btri = carry
     out_ref[0] = jnp.where(btri >= 0.0, bt, _INF)
     out_ref[1] = bu
     out_ref[2] = bv
@@ -111,7 +144,16 @@ def _pack_rays(o, d, tnear, tfar):
 
 
 def _woop_rows(scene):
-    return scene.woop.reshape(scene.num_tris, 12)
+    w = scene.woop.reshape(scene.num_tris, 12)
+    n = w.shape[0]
+    if n > _UNROLL_MAX and n % _UNROLL_W:
+        # pad to the unroll width with never-hit rows (u/v translation
+        # inf -> the barycentric test always fails)
+        pad = _UNROLL_W - n % _UNROLL_W
+        filler = jnp.zeros((pad, 12), w.dtype)
+        filler = filler.at[:, 3].set(jnp.inf).at[:, 7].set(jnp.inf)
+        w = jnp.concatenate([w, filler], axis=0)
+    return w
 
 
 def _any_core_impl(w, o, d, tnear, tfar):

@@ -62,6 +62,55 @@ def _area_candidate(u3, scene, gb: GBuffer, cfg):
     return cand, w_c, mis
 
 
+_EMISSIVE_SUBSET_MAX = 4096
+
+
+def _closest_emissive_visible(scene, o, d, tnear, cfg):
+    """Closest hit restricted to emissive triangles, then one bounded
+    occlusion segment against the whole scene.
+
+    brdfSampleLight only keeps EMISSIVE hits (pg/ReSTIRIntegrator.cpp:
+    126-177), and emissive triangles are a tiny subset of the scene —
+    so instead of a full unbounded closest-hit over incoherent bounce
+    rays (the single most expensive query at scale), intersect the
+    emissive subset brute-force (E is small), then ask "is anything
+    closer?" with an any-hit bounded at t_e - tfar_offset (the
+    reference's own shadow-segment epsilon policy,
+    pg/Intersection.h:42-60). Rays that miss every emissive die before
+    the scene query entirely."""
+    from tpu_restir.render.intersect import (Hit, _closest_chunk,
+                                             _run_chunked)
+    p = cfg.params
+    idx = scene.lights.tri_idx
+    e = idx.shape[0]
+    block = min(cfg.intersector.tri_block, e)
+    nb = -(-e // block)
+    pad = nb * block - e
+
+    def padv(x, fill):
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill,
+                                            x.dtype)]) if pad else x
+
+    v0b = padv(scene.tri_v0[idx], 1e30).reshape(nb, block, 3)
+    e1b = padv(scene.tri_e1[idx], 0.0).reshape(nb, block, 3)
+    e2b = padv(scene.tri_e2[idx], 0.0).reshape(nb, block, 3)
+    from functools import partial
+    bt, bu, bv, btri = _run_chunked(
+        partial(_closest_chunk, v0b=v0b, e1b=e1b, e2b=e2b),
+        o, d, tnear, jnp.inf, cfg.intersector.ray_chunk)
+    hit_e = btri >= 0
+    # global triangle ids for the subset winners
+    gtri = mathx.take_rows(idx.astype(jnp.float32)[:, None],
+                           jnp.maximum(btri, 0))[..., 0].astype(jnp.int32)
+    # anything closer? dead segment where no emissive was hit
+    tf_occ = jnp.where(hit_e, bt - p.tfar_offset, tnear - 1.0)
+    occ = intersect.intersect_any(scene, o, d, tnear, tf_occ,
+                                  cfg.intersector)
+    ok = hit_e & ~occ
+    return Hit(t=jnp.where(ok, bt, 0.0), u=bu, v=bv,
+               tri=jnp.where(ok, gtri, -1), hit=ok)
+
+
 def _brdf_candidate(u5, scene, gb: GBuffer, cfg):
     """One BSDF-sampled candidate per pixel (brdfSampleLight,
     pg/ReSTIRIntegrator.cpp:126-177): sample the G-buffer BRDF, trace, and
@@ -72,8 +121,16 @@ def _brdf_candidate(u5, scene, gb: GBuffer, cfg):
 
     s = brdf.gbuf_sample_brdf_u(u5, gb)
     o2 = gb.pos + p.normal_offset * gb.normal
-    hit = intersect.intersect_closest(scene, o2, s.omega_i, p.tnear_offset,
-                                      jnp.inf, cfg.intersector)
+    if 0 < scene.lights.count <= _EMISSIVE_SUBSET_MAX:
+        hit = _closest_emissive_visible(scene, o2, s.omega_i,
+                                        p.tnear_offset, cfg)
+    else:
+        # bounce directions are per-pixel incoherent: let the fcluster
+        # backend re-bin them into direction-coherent packets
+        import dataclasses
+        icfg = dataclasses.replace(cfg.intersector, bin_rays=True)
+        hit = intersect.intersect_closest(scene, o2, s.omega_i,
+                                          p.tnear_offset, jnp.inf, icfg)
     hi = intersect.hit_attributes(scene, o2, s.omega_i, hit)
     m2 = gather_materials(scene.materials, hi.mat_id)
     emissive = hi.did_hit & m2.is_emissive()

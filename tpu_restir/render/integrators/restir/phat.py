@@ -44,8 +44,13 @@ def evaluate_f(sample: LightSample, scene, gb: GBuffer, test_visibility,
     f_r = brdf.gbuf_eval_brdf(gb, wi)
     f = sample.l_i * f_r * g[..., None]
     if test_visibility:
+        # pixels whose f is already 0 (invalid sample / emissive surface)
+        # get a degenerate zero-length segment: test_occlusion turns it
+        # into a dead ray (tfar < tnear) that the intersection backends
+        # skip, instead of a full shadow trace whose result is discarded
+        to_p = jnp.where(ok[..., None], sample.point, gb.pos)
         occ = checkpoint_name(
-            intersect.test_occlusion(scene, gb.pos, sample.point, params,
+            intersect.test_occlusion(scene, gb.pos, to_p, params,
                                      intersector), "occlusion")
         ok = ok & ~occ
     return jnp.where(ok[..., None], f, 0.0)

@@ -144,14 +144,19 @@ def _any_chunk(o, d, tnear, tfar, v0b, e1b, e2b):
     return out
 
 
-def _run_chunked(fn, o, d, tnear, tfar, chunk):
-    """Flatten rays, pad to a chunk multiple, lax.map the chunk kernel."""
+def _run_chunked(fn, o, d, tnear, tfar, chunk, swizzle: bool = False):
+    """Flatten rays, pad to a chunk multiple, lax.map the chunk kernel.
+    With swizzle=True (fcluster on a 2-D pixel grid), rays are permuted
+    to 8x32-tile packet order first and results permuted back."""
     shape = o.shape[:-1]
     of = o.reshape(-1, 3)
     df = d.reshape(-1, 3)
     r = of.shape[0]
     tn = jnp.broadcast_to(jnp.asarray(tnear, jnp.float32), shape).reshape(-1)
     tf = jnp.broadcast_to(jnp.asarray(tfar, jnp.float32), shape).reshape(-1)
+    if swizzle:
+        perm = _tile_perm(shape[0], shape[1])
+        of, df, tn, tf = of[perm], df[perm], tn[perm], tf[perm]
     if r <= chunk:
         out = fn(of, df, tn, tf)
     else:
@@ -167,6 +172,9 @@ def _run_chunked(fn, o, d, tnear, tfar, chunk):
         out = jax.lax.map(lambda a: fn(*a), xs)
         out = jax.tree.map(lambda x: x.reshape((nc * chunk,) + x.shape[2:])[:r],
                            out)
+    if swizzle:
+        inv = _tile_perm_inv(shape[0], shape[1])
+        out = jax.tree.map(lambda x: x[inv], out)
     return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), out)
 
 
@@ -313,6 +321,104 @@ def _closest_chunk_bvh(o, d, tnear, tfar, scene):
                              o, d, tnear, tfar)
 
 
+# ---------------------------------------------------------------------------
+# Packet-cluster backend (tpu_restir.accel.fcluster): the production
+# large-scene path — dense interval culling + shortlist-round MXU
+# intersection; see that module's docstring. Reverse AD cannot flow
+# through the round while_loop, so the queries carry the detached-winner
+# custom VJP (analytic d(t,u,v)/d(o,d) of the winning triangle's Woop
+# transform; occlusion is data).
+# ---------------------------------------------------------------------------
+
+def _detached_woop_bwd(woop_rows, d, t, tri, g):
+    """Shared backward: analytic d(t,u,v)/d(o,d) of the detached winning
+    triangle's Woop transform (same derivation as kernels.ray_tri
+    _closest_bwd). woop_rows: (N, 12). Returns (go, gd)."""
+    gt, gu, gv, _gtri = g
+    rows = woop_rows[jnp.maximum(tri, 0)]
+    wu = rows[:, 0:3]
+    wv = rows[:, 4:7]
+    ww = rows[:, 8:11]
+    lw = jnp.sum(ww * d, axis=-1)
+    lu = jnp.sum(wu * d, axis=-1)
+    lv = jnp.sum(wv * d, axis=-1)
+    inv_lw = jnp.where(jnp.abs(lw) > 1e-18, 1.0 / lw, 0.0)
+    live = ((tri >= 0) & jnp.isfinite(t)).astype(jnp.float32)
+    tt = jnp.where(jnp.isfinite(t), t, 0.0)
+    a = (gu * lu + gv * lv + gt) * inv_lw * live
+    go = (gu * live)[:, None] * wu + (gv * live)[:, None] * wv \
+        - a[:, None] * ww
+    gd = tt[:, None] * go
+    return go, gd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fc_closest_core(p, k, bin_rays, v0b, e1b, e2b, cmin, cmax, woop, o, d,
+                     tnear, tfar):
+    from tpu_restir.accel.fcluster import fcluster_closest
+
+    return fcluster_closest(o, d, tnear, tfar, v0b, e1b, e2b, cmin, cmax,
+                            p=p, k=k, bin_rays=bin_rays)
+
+
+def _fc_closest_fwd(p, k, bin_rays, v0b, e1b, e2b, cmin, cmax, woop, o, d,
+                    tnear, tfar):
+    out = _fc_closest_core(p, k, bin_rays, v0b, e1b, e2b, cmin, cmax, woop,
+                           o, d, tnear, tfar)
+    t, _u, _v, tri = out
+    return out, (v0b.shape, cmin.shape, cmax.shape, woop, d, t, tri,
+                 tnear.shape, tfar.shape)
+
+
+def _fc_closest_bwd(p, k, bin_rays, res, g):
+    tbs, cns, cxs, woop, d, t, tri, tns, tfs = res
+    go, gd = _detached_woop_bwd(woop.reshape(woop.shape[0], 12), d, t,
+                                tri, g)
+    return (jnp.zeros(tbs), jnp.zeros(tbs), jnp.zeros(tbs),
+            jnp.zeros(cns), jnp.zeros(cxs), jnp.zeros_like(woop),
+            go, gd, jnp.zeros(tns), jnp.zeros(tfs))
+
+
+_fc_closest_core.defvjp(_fc_closest_fwd, _fc_closest_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fc_any_core(p, k, bin_rays, v0b, e1b, e2b, cmin, cmax, o, d,
+                 tnear, tfar):
+    from tpu_restir.accel.fcluster import fcluster_any
+
+    return fcluster_any(o, d, tnear, tfar, v0b, e1b, e2b, cmin, cmax,
+                        p=p, k=k, bin_rays=bin_rays)
+
+
+def _fc_any_fwd(p, k, bin_rays, v0b, e1b, e2b, cmin, cmax, o, d,
+                tnear, tfar):
+    out = _fc_any_core(p, k, bin_rays, v0b, e1b, e2b, cmin, cmax, o, d,
+                       tnear, tfar)
+    return out, jax.tree.map(jnp.shape, (v0b, e1b, e2b, cmin, cmax,
+                                         o, d, tnear, tfar))
+
+
+def _fc_any_bwd(p, k, bin_rays, res, _g):
+    # boolean visibility is detached (the estimator treats V as data)
+    return tuple(jnp.zeros(s) for s in res)
+
+
+_fc_any_core.defvjp(_fc_any_fwd, _fc_any_bwd)
+
+
+def _closest_chunk_fcluster(o, d, tnear, tfar, scene, p, k, bin_rays):
+    v0b, e1b, e2b = _pad_tris(scene, scene.cluster_size)
+    return _fc_closest_core(p, k, bin_rays, v0b, e1b, e2b, scene.cluster_min,
+                            scene.cluster_max, scene.woop, o, d, tnear, tfar)
+
+
+def _any_chunk_fcluster(o, d, tnear, tfar, scene, p, k, bin_rays):
+    v0b, e1b, e2b = _pad_tris(scene, scene.cluster_size)
+    return _fc_any_core(p, k, bin_rays, v0b, e1b, e2b, scene.cluster_min,
+                        scene.cluster_max, o, d, tnear, tfar)
+
+
 def _any_chunk_bvh(o, d, tnear, tfar, scene):
     return _bvh_any_core(scene.bvh.max_depth, scene.bvh.max_leaf,
                          scene.bvh.boxes, scene.bvh.meta, scene.tri_v0,
@@ -387,17 +493,59 @@ def _any_chunk_cluster(o, d, tnear, tfar, wb, cmin, cmax):
     return out
 
 
+_TILE_H, _TILE_W = 8, 32  # 8*32 == fcluster packet (256 rays)
+
+
+def _tile_perm(h: int, w: int) -> jnp.ndarray:
+    """Packet-major -> row-major pixel index: packet j covers an 8x32
+    pixel tile, so fcluster packets see compact frusta instead of
+    1x256 scanline strips (measured: 5x fewer packet-cluster pairs on
+    the terrain scene). Pure iota arithmetic — no host constants."""
+    j = jnp.arange(h * w)
+    tpr = w // _TILE_W
+    tile, within = j // (_TILE_H * _TILE_W), j % (_TILE_H * _TILE_W)
+    ty, tx = within // _TILE_W, within % _TILE_W
+    t_y, t_x = tile // tpr, tile % tpr
+    return (t_y * _TILE_H + ty) * w + (t_x * _TILE_W + tx)
+
+
+def _tile_perm_inv(h: int, w: int) -> jnp.ndarray:
+    """Row-major pixel index -> packet-major position (closed form)."""
+    src = jnp.arange(h * w)
+    y, x = src // w, src % w
+    tpr = w // _TILE_W
+    tile = (y // _TILE_H) * tpr + x // _TILE_W
+    return tile * (_TILE_H * _TILE_W) + (y % _TILE_H) * _TILE_W \
+        + (x % _TILE_W)
+
+
+def _swizzle_applicable(backend: str, shape) -> bool:
+    return (backend == "fcluster" and len(shape) == 2
+            and shape[0] % _TILE_H == 0 and shape[1] % _TILE_W == 0)
+
+
 def _backend(scene, cfg: IntersectorConfig) -> str:
     if cfg.backend != "auto":
+        if cfg.backend == "bvh" and scene.bvh is None:
+            raise ValueError(
+                "backend='bvh' requested but the scene has no wide BVH "
+                f"(num_tris={scene.num_tris} <= cluster threshold; "
+                "build_scene only builds one for larger scenes)")
+        if cfg.backend in ("fcluster", "cluster") \
+                and scene.cluster_min is None:
+            raise ValueError(
+                f"backend={cfg.backend!r} requested but the scene has no "
+                "cluster arrays (scene too small; use 'fused'/'woop_mxu')")
         return cfg.backend
     from tpu_restir.kernels import ray_tri
-    if ray_tri.supports(scene) and jax.default_backend() != "cpu":
+    if ray_tri.supports(scene, cfg.fused_max_tris) \
+            and jax.default_backend() != "cpu":
         # fused Pallas kernel: the whole test stays in VMEM (small scenes)
         return "fused"
-    if scene.bvh is not None and scene.num_tris > cfg.bvh_threshold:
-        # wide-BVH traversal: the only backend whose cost scales with
-        # visited nodes, not scene size — production path at scale
-        return "bvh"
+    if scene.cluster_min is not None and scene.num_tris > cfg.bvh_threshold:
+        # packet-cluster culling: dense interval tests + shortlist-round
+        # MXU intersection — the production path at scale
+        return "fcluster"
     if scene.cluster_min is not None:
         return "cluster"
     return "woop_mxu" if scene.woop is not None else "brute"
@@ -422,6 +570,10 @@ def intersect_closest(scene, o, d, tnear, tfar,
                    tri=btri.reshape(shape), hit=hit)
     if backend == "bvh":
         fn = partial(_closest_chunk_bvh, scene=scene)
+    elif backend == "fcluster":
+        fn = partial(_closest_chunk_fcluster, scene=scene,
+                     p=cfg.packet_size, k=cfg.shortlist_k,
+                     bin_rays=cfg.bin_rays)
     elif backend == "cluster":
         wb = _pad_woop(scene, scene.cluster_size)
         fn = partial(_closest_chunk_cluster, wb=wb, cmin=scene.cluster_min,
@@ -432,7 +584,9 @@ def intersect_closest(scene, o, d, tnear, tfar,
     else:
         v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
         fn = partial(_closest_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
-    bt, bu, bv, btri = _run_chunked(fn, o, d, tnear, tfar, cfg.ray_chunk)
+    bt, bu, bv, btri = _run_chunked(
+        fn, o, d, tnear, tfar, cfg.ray_chunk,
+        swizzle=_swizzle_applicable(backend, o.shape[:-1]))
     hit = btri >= 0
     return Hit(t=jnp.where(hit, bt, 0.0), u=bu, v=bv, tri=btri, hit=hit)
 
@@ -452,6 +606,10 @@ def intersect_any(scene, o, d, tnear, tfar,
                                tn, tf).reshape(shape)
     if backend == "bvh":
         fn = partial(_any_chunk_bvh, scene=scene)
+    elif backend == "fcluster":
+        fn = partial(_any_chunk_fcluster, scene=scene,
+                     p=cfg.packet_size, k=cfg.shortlist_k,
+                     bin_rays=cfg.bin_rays)
     elif backend == "cluster":
         wb = _pad_woop(scene, scene.cluster_size)
         fn = partial(_any_chunk_cluster, wb=wb, cmin=scene.cluster_min,
@@ -462,7 +620,8 @@ def intersect_any(scene, o, d, tnear, tfar,
     else:
         v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
         fn = partial(_any_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
-    return _run_chunked(fn, o, d, tnear, tfar, cfg.ray_chunk)
+    return _run_chunked(fn, o, d, tnear, tfar, cfg.ray_chunk,
+                        swizzle=_swizzle_applicable(backend, o.shape[:-1]))
 
 
 def test_occlusion(scene, from_p, to_p, params,

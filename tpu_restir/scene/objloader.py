@@ -254,7 +254,7 @@ def load_obj(path: str, gamma_correct: bool = True):
 
 
 def load_obj_scene(path: str, gamma_correct: bool = True,
-                   cluster_size: int = 128) -> SceneArrays:
+                   cluster_size: int = 32) -> SceneArrays:
     d = load_obj(path, gamma_correct)
     return build_scene(d["tri_v"], d["mat_ids"], d["specs"],
                        vertex_normals=d["tri_n"], vertex_uvs=d["tri_uv"],

@@ -64,7 +64,7 @@ def build_scene(
     vertex_tangents: Optional[np.ndarray] = None,  # (N, 3, 3)
     textures: Optional[np.ndarray] = None,
     envmap: Optional[np.ndarray] = None,
-    cluster_size: int = 128,
+    cluster_size: int = 32,
 ) -> SceneArrays:
     v = np.asarray(vertices, np.float32)
     n_tris = v.shape[0]
