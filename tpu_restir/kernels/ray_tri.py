@@ -30,7 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INF = np.float32(np.inf)
 _BARY_EPS = 1e-5   # watertight slack, matches kernels/woop.py
-TILE = 1024        # rays per grid step: (8, 128)
+# Rays per grid step. Round 2 used one (8, 128) VPU tile (1024 rays) per
+# step; at 2M-ray production chunks that is ~2k grid steps whose per-step
+# overhead dominated (measured 71 Mrays/s at 36 tris — ~4% of VPU peak).
+# 8192 rays/step = (64, 128) blocks amortizes it 8x; VMEM cost is
+# 8 ch x 64 x 128 x 4 B = 256 KiB in + small accumulators, well under
+# the ~16 MiB budget.
+TILE = 8192
+_ROWS = TILE // 128  # sublane rows per grid step
 
 # Test hook: run the Mosaic kernels in the Pallas interpreter (CPU) so the
 # suite can check them against the XLA backends without TPU hardware.
@@ -79,7 +86,7 @@ def _any_kernel(rays_ref, w_ref, out_ref, *, n_tris):
     # the accumulator is f32, not bool — Mosaic cannot legalize an
     # i1-vector loop carry
     if n_tris <= _UNROLL_MAX:
-        occ = jnp.zeros((8, 128), jnp.float32)
+        occ = jnp.zeros((_ROWS, 128), jnp.float32)
         for t_idx in range(n_tris):
             _t, _u, _v, ok = _woop_tuvok(rays_ref, w_ref, t_idx)
             occ = jnp.maximum(occ, ok.astype(jnp.float32))
@@ -94,7 +101,7 @@ def _any_kernel(rays_ref, w_ref, out_ref, *, n_tris):
         return occ
 
     occ = jax.lax.fori_loop(0, -(-n_tris // _UNROLL_W), body,
-                            jnp.zeros((8, 128), jnp.float32))
+                            jnp.zeros((_ROWS, 128), jnp.float32))
     out_ref[:] = occ
 
 
@@ -109,8 +116,10 @@ def _closest_kernel(rays_ref, w_ref, out_ref, *, n_tris):
                           jnp.float32(t_idx) if isinstance(t_idx, int)
                           else t_idx.astype(jnp.float32), btri))
 
-    init = (jnp.full((8, 128), _INF), jnp.zeros((8, 128), jnp.float32),
-            jnp.zeros((8, 128), jnp.float32), jnp.full((8, 128), -1.0))
+    init = (jnp.full((_ROWS, 128), _INF),
+            jnp.zeros((_ROWS, 128), jnp.float32),
+            jnp.zeros((_ROWS, 128), jnp.float32),
+            jnp.full((_ROWS, 128), -1.0))
     if n_tris <= _UNROLL_MAX:
         carry = init
         for t_idx in range(n_tris):
@@ -140,7 +149,7 @@ def _pack_rays(o, d, tnear, tfar):
         # padded rays: tfar < tnear => never hit
         fill = jnp.zeros((8, pad), ch.dtype).at[7].set(-1.0)
         ch = jnp.concatenate([ch, fill], axis=1)
-    return ch.reshape(8, nt * 8, 128), nt, n
+    return ch.reshape(8, nt * _ROWS, 128), nt, n
 
 
 def _woop_rows(scene):
@@ -163,13 +172,13 @@ def _any_core_impl(w, o, d, tnear, tfar):
         interpret=INTERPRET,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((8, 8, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((8, _ROWS, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_ROWS, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt * 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt * _ROWS, 128), jnp.float32),
     )(rays, w)
     return out.reshape(-1)[:n] > 0.5
 
@@ -208,13 +217,13 @@ def _closest_core_impl(w, o, d, tnear, tfar):
         interpret=INTERPRET,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((8, 8, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((8, _ROWS, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((4, 8, 128), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((4, _ROWS, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, nt * 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, nt * _ROWS, 128), jnp.float32),
     )(rays, w)
     flat = out.reshape(4, -1)[:, :n]
     tri = flat[3].astype(jnp.int32)
