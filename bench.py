@@ -69,7 +69,12 @@ def main():
     step = jax.jit(restir_step, static_argnames=("cfg",))
 
     # warmup / compile (retry once: the tunneled TPU backend occasionally
-    # throws a transient FAILED_PRECONDITION during the first lowering)
+    # throws a transient FAILED_PRECONDITION during the first lowering).
+    # The instrumented query log records every traced intersection query's
+    # ray count — the measured rays/frame that cross-checks the analytic
+    # rays_per_pixel model (tpu_restir.roofline.summarize_query_log).
+    from tpu_restir.render import intersect as intersect_mod
+    intersect_mod.QUERY_LOG = qlog = []
     for attempt in range(2):
         try:
             frame, state = step(scene, cam, cfg, rng.make_frame_seed(0, 0),
@@ -80,6 +85,9 @@ def main():
             if attempt == 1:
                 raise
             time.sleep(5.0)
+    intersect_mod.QUERY_LOG = None
+    traced_rays = sum(e["rays"] for e in qlog)
+    traced_rpp = traced_rays / float(WIDTH * HEIGHT)
 
     # NOTE: sync via a scalar fetch per frame — on the tunneled backend
     # jax.block_until_ready returns before device work completes, so a
@@ -91,7 +99,10 @@ def main():
         float(jnp.sum(frame))
     dt = time.perf_counter() - t0
 
-    rays_frame = rays_per_pixel(cfg) * WIDTH * HEIGHT
+    # throughput on the TRACED ray count (exact); the analytic
+    # rays_per_pixel(cfg) stays as the cross-check in the unit string
+    rays_frame = traced_rays if traced_rays else (
+        rays_per_pixel(cfg) * WIDTH * HEIGHT)
     mrays_fwd = rays_frame * N_FRAMES / dt / 1e6
 
     # --- fwd+bwd: value_and_grad of a pixel loss w.r.t. material params
@@ -149,7 +160,9 @@ def main():
         "metric": "restir_1080p_mrays_per_s_fwd_bwd",
         "value": round(mrays_fwd_bwd, 2),
         "unit": ("Mrays/s (fwd " + str(round(mrays_fwd, 1))
-                 + "; " + "; ".join(extras) + ")"),
+                 + "; " + "; ".join(extras)
+                 + f"; rpp {traced_rpp:.1f} traced/"
+                 + f"{rays_per_pixel(cfg)} analytic)"),
         "vs_baseline": round(mrays_fwd_bwd / baseline_mrays, 2),
     }))
 

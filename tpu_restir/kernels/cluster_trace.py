@@ -1,0 +1,463 @@
+"""Pallas TPU kernel: packet-shortlist cluster traversal ("ptrace").
+
+The production large-scene intersection backend (the framework's Embree
+replacement at scale — reference pg/Intersection.h:8-113, pg/Scene.cpp:15
+rtcCommitScene). Round 3's fcluster backend kept everything in plain XLA
+with lockstep while_loop "shortlist rounds" over shrinking packet
+prefixes; measured on terrain100k@1080p that design compiled in ~8 min
+and traced 1.8 Mrays/s — every packet in a prefix pays for the busiest
+packet's rounds, and each round re-runs top_k selection. This kernel
+keeps the dense-culling idea but makes the per-packet work exact:
+
+  Phase 1 (XLA, dense): rays are grouped into packets of P=256
+  (spatially coherent 8x32 pixel tiles via render.intersect's swizzle).
+  Each packet's interval hull is slab-tested against every cluster AABB
+  in one dense (Rp, C) op (tpu_restir.accel.fcluster interval
+  arithmetic + swept sub-box culling), producing a conservative entry
+  distance per passing pair. ONE sort per packet orders the passing
+  clusters front-to-back -> a per-packet shortlist + count.
+
+  Phase 2 (Pallas, grid over packets): each packet loops over exactly
+  its own shortlist — no lockstep. Cluster triangle blocks (B tris,
+  channels-last (B, 16) tiles) are double-buffer DMA'd HBM->VMEM while
+  the previous cluster's fused Möller-Trumbore test runs on a (B, P)
+  VPU tile. Closest-hit carries a packet-wide watermark
+  max_r(min(best_t_r, tfar_r)) and stops as soon as the next cluster's
+  entry distance exceeds it (ordered traversal — the TPU analog of
+  Embree's near-child-first BVH descent); any-hit stops when every live
+  ray is occluded.
+
+All control flow is a single scalar-carried while_loop per packet; the
+vector state (running min / occlusion mask) lives in the output refs.
+Compiles in seconds (vs minutes for the XLA formulation) because the
+program is one small kernel, not an unrolled segment schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = np.float32(np.inf)
+_BIGI = np.int32(1 << 30)
+
+P = 256  # rays per packet == one 8x32 pixel tile
+G = 8    # packets per grid step (amortizes per-step overhead; also the
+         # minimum SMEM block sublane count the TPU lowering accepts)
+
+# Test hook: run the Mosaic kernels in the Pallas interpreter (CPU) so the
+# suite can check them against the XLA backends without TPU hardware.
+INTERPRET = False
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: dense packet-vs-cluster culling with entry distances (XLA)
+# ---------------------------------------------------------------------------
+
+def _interval_pass_entry(omin, omax, dmin, dmax, tnmin, tfmax, cmin, cmax):
+    """Conservative packet-vs-cluster slab test with entry distance.
+
+    Same interval arithmetic as accel.fcluster._interval_pass, but also
+    returns entry_lo (Rp, C): a lower bound on the t at which ANY ray in
+    the packet's hull can enter the cluster. Used to order shortlists
+    front-to-back and early-out closest-hit traversal.
+    """
+    big = np.float32(3.0e38)
+    rp = omin.shape[0]
+    c = cmin.shape[0]
+    entry_lo = jnp.full((rp, c), -big)
+    exit_hi = jnp.full((rp, c), big)
+    for a in range(3):
+        dlo = dmin[:, a:a + 1]
+        dhi = dmax[:, a:a + 1]
+        spans0 = (dlo <= 1e-12) & (dhi >= -1e-12)
+        safe_lo = jnp.where(spans0, 1.0, dlo)
+        safe_hi = jnp.where(spans0, 1.0, dhi)
+        rlo = jnp.minimum(1.0 / safe_lo, 1.0 / safe_hi)
+        rhi = jnp.maximum(1.0 / safe_lo, 1.0 / safe_hi)
+        rlo = jnp.clip(rlo, -1e12, 1e12)
+        rhi = jnp.clip(rhi, -1e12, 1e12)
+        for plane, (blo_n, bhi_n) in enumerate((
+                (cmin[None, :, a] - omax[:, a:a + 1],
+                 cmin[None, :, a] - omin[:, a:a + 1]),
+                (cmax[None, :, a] - omax[:, a:a + 1],
+                 cmax[None, :, a] - omin[:, a:a + 1]))):
+            q1 = blo_n * rlo
+            q2 = blo_n * rhi
+            q3 = bhi_n * rlo
+            q4 = bhi_n * rhi
+            tlo = jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4))
+            thi = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+            if plane == 0:
+                t1lo, t1hi = tlo, thi
+            else:
+                t2lo, t2hi = tlo, thi
+        a_entry_lo = jnp.minimum(t1lo, t2lo)
+        a_exit_hi = jnp.maximum(t1hi, t2hi)
+        a_entry_lo = jnp.where(spans0, -big, a_entry_lo)
+        a_exit_hi = jnp.where(spans0, big, a_exit_hi)
+        entry_lo = jnp.maximum(entry_lo, a_entry_lo)
+        exit_hi = jnp.minimum(exit_hi, a_exit_hi)
+    passes = ((entry_lo <= exit_hi)
+              & (exit_hi >= tnmin[:, None])
+              & (entry_lo <= tfmax[:, None]))
+    return passes, entry_lo
+
+
+def build_shortlists(o, d, tnear, tfar, cmin, cmax, p: int = P):
+    """Rays (R, 3) -> per-packet front-to-back cluster shortlists.
+
+    Returns (count (Rp,) int32, shortlist (Rp, C) int32, entry (Rp, C)
+    f32 ascending; entries past count are +inf). Conservative: every
+    cluster any packet ray could hit within [tnear, tfar] is listed.
+    """
+    from tpu_restir.accel.fcluster import _packet_bounds
+
+    (omin, omax, dmin, dmax, tn, tf,
+     bounded, emin, emax) = _packet_bounds(o, d, tnear, tfar, p)
+    passes, entry = _interval_pass_entry(omin, omax, dmin, dmax, tn, tf,
+                                         cmin, cmax)
+    # swept sub-box cull (see fcluster._prep): cluster must overlap one
+    # of the packet's t-sliced hull boxes
+    box_ok = jnp.any(
+        jnp.all((emin[:, None, :, :] <= cmax[None, :, None, :])
+                & (emax[:, None, :, :] >= cmin[None, :, None, :]),
+                axis=-1), axis=-1)
+    passes &= box_ok | ~bounded[:, None]
+    key = jnp.where(passes, jnp.maximum(entry, tn[:, None]), _INF)
+    rp, c = key.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rp, c), 1)
+    ent_sorted, sl = jax.lax.sort((key, iota), dimension=1, num_keys=1)
+    count = jnp.sum(passes.astype(jnp.int32), axis=1)
+    return count, sl, ent_sorted
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: per-packet traversal kernels (Pallas)
+# ---------------------------------------------------------------------------
+
+def _ray_channels(rays_ref, g):
+    """Split packet g of the (G, 8, P) ray block into (1, P) channels."""
+    r = rays_ref[g]
+    return (r[0:1, :], r[1:2, :], r[2:3, :], r[3:4, :], r[4:5, :],
+            r[5:6, :], r[6:7, :], r[7:8, :])
+
+
+def _mt_cluster(tr, ox, oy, oz, dx, dy, dz, tn, tf):
+    """Fused Möller-Trumbore: one cluster's (B, 16) channel block against
+    a (1, P) ray packet -> t, u, v, ok of shape (B, P). Op sequence
+    mirrors render.intersect._mt_block so winning hits agree with the
+    brute backend."""
+    v0x, v0y, v0z = tr[:, 0:1], tr[:, 1:2], tr[:, 2:3]
+    e1x, e1y, e1z = tr[:, 3:4], tr[:, 4:5], tr[:, 5:6]
+    e2x, e2y, e2z = tr[:, 6:7], tr[:, 7:8], tr[:, 8:9]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok_det = jnp.abs(det) > 1e-18
+    inv = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * px + tvy * py + tvz * pz) * inv
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    ok = ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    ok &= (t >= tn) & (t <= tf)
+    return t, u, v, ok
+
+
+# Clusters intersected per round share one loop iteration's control/DMA/
+# reduction overhead; the compute tile is kept at (~TILE_ROWS, P) rows by
+# packing 256//block clusters per round. A short tail duplicates the last
+# cluster, which is result-neutral (the winner tie-break picks the lower
+# row; duplicated any-hits OR into the same mask).
+TILE_ROWS = 256
+
+
+def _pair(block: int) -> int:
+    return max(1, TILE_ROWS // block)
+
+
+def _closest_kernel(cnt_ref, sl_ref, ent_ref, rays_ref, ctris, out_ref,
+                    buf, sem, *, block, n_clusters, pair):
+    c_last = n_clusters - 1
+
+    def packet(g, _):
+        n = cnt_ref[g, 0]
+        ox, oy, oz, dx, dy, dz, tn, tf = _ray_channels(rays_ref, g)
+        nr = (n + pair - 1) // pair  # rounds of `pair` clusters
+
+        def slh(jr, half):
+            return sl_ref[g, jnp.minimum(
+                jnp.minimum(pair * jr + half, n - 1), c_last)]
+
+        def dma(jr, half):
+            slot = jax.lax.rem(jr, 2)
+            return pltpu.make_async_copy(
+                ctris.at[slh(jr, half)],
+                buf.at[slot, pl.ds(half * block, block)],
+                sem.at[slot, half])
+
+        @pl.when(n > 0)
+        def _():
+            for h in range(pair):
+                dma(0, h).start()
+
+        out_ref[g, 0:1, :] = jnp.full((1, P), _INF)
+        out_ref[g, 1:2, :] = jnp.zeros((1, P), jnp.float32)
+        out_ref[g, 2:3, :] = jnp.zeros((1, P), jnp.float32)
+        out_ref[g, 3:4, :] = jnp.full((1, P), -1.0)
+
+        # watermark: no ray can improve beyond min(best_t, its tfar), so
+        # the packet is done once the next front-to-back entry passes it
+        maxt0 = jnp.max(tf)
+
+        def cond(carry):
+            jr, maxt = carry
+            ent = ent_ref[g, jnp.minimum(pair * jr, c_last)]
+            return (jr < nr) & (ent <= maxt)
+
+        def body(carry):
+            jr, _maxt = carry
+            slot = jax.lax.rem(jr, 2)
+
+            @pl.when(jr + 1 < nr)
+            def _():
+                for h in range(pair):
+                    dma(jr + 1, h).start()
+
+            for h in range(pair):
+                dma(jr, h).wait()
+            tr = buf[slot]                            # (pair*block, 128)
+            t, u, v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz, tn, tf)
+            tt = jnp.where(ok, t, _INF)
+            tmin = jnp.min(tt, axis=0, keepdims=True)        # (1, P)
+            riota = jax.lax.broadcasted_iota(jnp.int32,
+                                             (pair * block, P), 0)
+            jwin = jnp.min(jnp.where(tt <= tmin, riota, _BIGI), axis=0,
+                           keepdims=True)
+            onehot = riota == jwin
+            mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=0, keepdims=True)
+            mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=0, keepdims=True)
+            mtri = jnp.zeros((1, P), jnp.int32)
+            for h in range(pair):
+                in_h = (jwin >= h * block) & (jwin < (h + 1) * block)
+                mtri = jnp.where(in_h,
+                                 slh(jr, h) * block + jwin - h * block,
+                                 mtri)
+            mtri = mtri.astype(jnp.float32)
+            bt = out_ref[g, 0:1, :]
+            better = tmin < bt
+            nt = jnp.where(better, tmin, bt)
+            out_ref[g, 0:1, :] = nt
+            out_ref[g, 1:2, :] = jnp.where(better, mu, out_ref[g, 1:2, :])
+            out_ref[g, 2:3, :] = jnp.where(better, mv, out_ref[g, 2:3, :])
+            out_ref[g, 3:4, :] = jnp.where(better, mtri,
+                                           out_ref[g, 3:4, :])
+            return jr + 1, jnp.max(jnp.minimum(nt, tf))
+
+        jf, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), maxt0))
+
+        # drain the prefetch issued for the round the early-out skipped
+        @pl.when((n > 0) & (jf < nr))
+        def _():
+            for h in range(pair):
+                dma(jf, h).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, G, packet, 0, unroll=False)
+
+
+def _any_kernel(cnt_ref, sl_ref, ent_ref, rays_ref, ctris, out_ref,
+                buf, sem, *, block, n_clusters, pair):
+    c_last = n_clusters - 1
+
+    def packet(g, _):
+        n = cnt_ref[g, 0]
+        ox, oy, oz, dx, dy, dz, tn, tf = _ray_channels(rays_ref, g)
+        nr = (n + pair - 1) // pair
+
+        def slh(jr, half):
+            return sl_ref[g, jnp.minimum(
+                jnp.minimum(pair * jr + half, n - 1), c_last)]
+
+        def dma(jr, half):
+            slot = jax.lax.rem(jr, 2)
+            return pltpu.make_async_copy(
+                ctris.at[slh(jr, half)],
+                buf.at[slot, pl.ds(half * block, block)],
+                sem.at[slot, half])
+
+        @pl.when(n > 0)
+        def _():
+            for h in range(pair):
+                dma(0, h).start()
+
+        out_ref[pl.ds(g, 1), :] = jnp.zeros((1, P), jnp.float32)
+        # dead rays (padding / degenerate shadow segments) count as done
+        # so they can't hold the early-out open; their output stays 0
+        deadf = (tf < tn).astype(jnp.float32)
+
+        def cond(carry):
+            jr, done = carry
+            return (jr < nr) & (done < 0.5)
+
+        def body(carry):
+            jr, _done = carry
+            slot = jax.lax.rem(jr, 2)
+
+            @pl.when(jr + 1 < nr)
+            def _():
+                for h in range(pair):
+                    dma(jr + 1, h).start()
+
+            for h in range(pair):
+                dma(jr, h).wait()
+            tr = buf[slot]
+            _t, _u, _v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
+                                         tn, tf)
+            occ = jnp.maximum(out_ref[pl.ds(g, 1), :],
+                              jnp.max(ok.astype(jnp.float32), axis=0,
+                                      keepdims=True))
+            out_ref[pl.ds(g, 1), :] = occ
+            return jr + 1, jnp.min(jnp.maximum(occ, deadf))
+
+        jf, _ = jax.lax.while_loop(cond, body,
+                                   (jnp.int32(0), jnp.min(deadf)))
+
+        @pl.when((n > 0) & (jf < nr))
+        def _():
+            for h in range(pair):
+                dma(jf, h).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, G, packet, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
+# Wrappers: pad rays, run phase 1, launch the kernel
+# ---------------------------------------------------------------------------
+
+def _pack(o, d, tnear, tfar, cmin, cmax):
+    """Clamp tfar to the scene bbox, pad to a grid-step multiple, build
+    the (Rp, 8, P) channel blocks + phase-1 shortlists."""
+    from tpu_restir.accel.fcluster import _clamp_tfar_bbox
+
+    r = o.shape[0]
+    lo = jnp.min(cmin, axis=0)
+    hi = jnp.max(cmax, axis=0)
+    tnear = jnp.broadcast_to(tnear, (r,))
+    tfar = _clamp_tfar_bbox(o, d, tnear, jnp.broadcast_to(tfar, (r,)),
+                            lo, hi)
+    pad = (-r) % (G * P)
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)])
+        tnear = jnp.concatenate([tnear, jnp.zeros((pad,), tnear.dtype)])
+        tfar = jnp.concatenate([tfar, jnp.full((pad,), -1.0, tfar.dtype)])
+    rp = (r + pad) // P
+    cnt, sl, ent = build_shortlists(o, d, tnear, tfar, cmin, cmax, P)
+    rays = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
+                      d[:, 2], tnear, tfar], axis=0)          # (8, R)
+    rays = jnp.swapaxes(rays.reshape(8, rp, P), 0, 1)         # (Rp, 8, P)
+    return rays, cnt.reshape(rp, 1), sl, ent, rp, r
+
+
+def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar):
+    """Closest hit over flat rays (R, 3) -> (t, u, v, tri) with t=inf /
+    tri=-1 on miss. ctris: (C, B, 128) cluster channel blocks (lanes 0-8 =
+    v0/e1/e2 xyz; padding triangles have zero edges => det==0 => never
+    hit). Triangle ids are cluster*B + row (global leaf-order ids)."""
+    c, block, _ = ctris.shape
+    rays, cnt, sl, ent, rp, r = _pack(o, d, tnear, tfar, cmin, cmax)
+    out = pl.pallas_call(
+        functools.partial(_closest_kernel, block=block, n_clusters=c,
+                          pair=_pair(block)),
+        interpret=INTERPRET,
+        grid=(rp // G,),
+        in_specs=[
+            pl.BlockSpec((G, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, c), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, c), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((G, 4, P), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, 4, P), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, _pair(block) * block, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _pair(block))),
+        ],
+    )(cnt, sl, ent, rays, ctris)
+    flat = jnp.swapaxes(out, 0, 1).reshape(4, rp * P)[:, :r]
+    return flat[0], flat[1], flat[2], flat[3].astype(jnp.int32)
+
+
+def trace_any(ctris, cmin, cmax, o, d, tnear, tfar):
+    """Any-hit (occlusion) over flat rays (R, 3) -> (R,) bool."""
+    c, block, _ = ctris.shape
+    rays, cnt, sl, ent, rp, r = _pack(o, d, tnear, tfar, cmin, cmax)
+    out = pl.pallas_call(
+        functools.partial(_any_kernel, block=block, n_clusters=c,
+                          pair=_pair(block)),
+        interpret=INTERPRET,
+        grid=(rp // G,),
+        in_specs=[
+            pl.BlockSpec((G, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, c), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, c), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((G, P), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, P), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, _pair(block) * block, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _pair(block))),
+        ],
+    )(cnt, sl, ent, rays, ctris)
+    return out.reshape(-1)[:r] > 0.5
+
+
+def build_cluster_tris(v: np.ndarray, block: int) -> np.ndarray:
+    """Leaf-ordered triangle vertices (N, 3, 3) -> (C, B, 128) channel
+    blocks for the traversal kernels. Channels 0-8 = v0/e1/e2 xyz; rest
+    zero (the lane dim must be 128 — Mosaic pads HBM memrefs to the
+    (·, 128) tile anyway, and DMA slices must be tile-aligned). Padding
+    rows get zero edges (det == 0, never hit)."""
+    n = v.shape[0]
+    c = -(-n // block)
+    out = np.zeros((c * block, 128), np.float32)
+    out[:n, 0:3] = v[:, 0]
+    out[:n, 3:6] = v[:, 1] - v[:, 0]
+    out[:n, 6:9] = v[:, 2] - v[:, 0]
+    return out.reshape(c, block, 128)
+
+
+def supports(scene) -> bool:
+    """Kernel applicability: cluster blocks present, TPU backend (the
+    Mosaic kernel does not lower on CPU unless interpreting)."""
+    return (getattr(scene, "cluster_tris", None) is not None
+            and (jax.default_backend() != "cpu" or INTERPRET))

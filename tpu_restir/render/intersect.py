@@ -32,6 +32,18 @@ from tpu_restir.config import IntersectorConfig
 _INF = np.float32(np.inf)  # np scalar: no device op at import time
 _DET_EPS = 1e-18
 
+# Instrumented query log (speed-of-light accounting, tpu_restir.roofline):
+# set to a list before tracing a frame and every closest/any query appends
+# its static ray count AT TRACE TIME — the exact per-frame ray totals,
+# cross-checking bench.py's analytic rays-per-pixel model. None = off.
+QUERY_LOG = None
+
+
+def _log_query(kind: str, backend: str, shape) -> None:
+    if QUERY_LOG is not None:
+        QUERY_LOG.append({"kind": kind, "backend": backend,
+                          "rays": int(np.prod(shape, dtype=np.int64))})
+
 
 class Hit(struct.PyTreeNode):
     t: jnp.ndarray     # (...,) distance along the ray
@@ -144,10 +156,28 @@ def _any_chunk(o, d, tnear, tfar, v0b, e1b, e2b):
     return out
 
 
+def _tile_fold(x, h, w):
+    """Row-major flat (h*w, ...) -> packet-major 8x32-tile order, as a
+    reshape+transpose (an explicit gather of 2M rows costs ~100 ms on
+    v5e; the transpose form is ~free)."""
+    rest = x.shape[1:]
+    xr = x.reshape(h // _TILE_H, _TILE_H, w // _TILE_W, _TILE_W, *rest)
+    xr = jnp.swapaxes(xr, 1, 2)
+    return xr.reshape((h * w,) + rest)
+
+
+def _tile_unfold(x, h, w):
+    """Inverse of _tile_fold."""
+    rest = x.shape[1:]
+    xr = x.reshape(h // _TILE_H, w // _TILE_W, _TILE_H, _TILE_W, *rest)
+    xr = jnp.swapaxes(xr, 1, 2)
+    return xr.reshape((h * w,) + rest)
+
+
 def _run_chunked(fn, o, d, tnear, tfar, chunk, swizzle: bool = False):
     """Flatten rays, pad to a chunk multiple, lax.map the chunk kernel.
-    With swizzle=True (fcluster on a 2-D pixel grid), rays are permuted
-    to 8x32-tile packet order first and results permuted back."""
+    With swizzle=True (packet backends on a 2-D pixel grid), rays are
+    permuted to 8x32-tile packet order first and results permuted back."""
     shape = o.shape[:-1]
     of = o.reshape(-1, 3)
     df = d.reshape(-1, 3)
@@ -155,8 +185,8 @@ def _run_chunked(fn, o, d, tnear, tfar, chunk, swizzle: bool = False):
     tn = jnp.broadcast_to(jnp.asarray(tnear, jnp.float32), shape).reshape(-1)
     tf = jnp.broadcast_to(jnp.asarray(tfar, jnp.float32), shape).reshape(-1)
     if swizzle:
-        perm = _tile_perm(shape[0], shape[1])
-        of, df, tn, tf = of[perm], df[perm], tn[perm], tf[perm]
+        h, w = shape
+        of, df, tn, tf = (_tile_fold(x, h, w) for x in (of, df, tn, tf))
     if r <= chunk:
         out = fn(of, df, tn, tf)
     else:
@@ -173,8 +203,8 @@ def _run_chunked(fn, o, d, tnear, tfar, chunk, swizzle: bool = False):
         out = jax.tree.map(lambda x: x.reshape((nc * chunk,) + x.shape[2:])[:r],
                            out)
     if swizzle:
-        inv = _tile_perm_inv(shape[0], shape[1])
-        out = jax.tree.map(lambda x: x[inv], out)
+        out = jax.tree.map(lambda x: _tile_unfold(x, shape[0], shape[1]),
+                           out)
     return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), out)
 
 
@@ -407,6 +437,73 @@ def _fc_any_bwd(p, k, bin_rays, res, _g):
 _fc_any_core.defvjp(_fc_any_fwd, _fc_any_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packet-traversal backend (tpu_restir.kernels.cluster_trace): the
+# production large-scene path — dense front-to-back shortlists + a Pallas
+# per-packet traversal kernel with double-buffered cluster DMA and
+# ordered early-out. Reverse AD cannot flow through the traversal loop,
+# so the queries carry the detached-winner custom VJP (analytic
+# d(t,u,v)/d(o,d) of the winning triangle's Woop transform; occlusion is
+# data).
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _pt_closest_core(ctris, cmin, cmax, woop, o, d, tnear, tfar):
+    from tpu_restir.kernels.cluster_trace import trace_closest
+
+    return trace_closest(ctris, cmin, cmax, o, d, tnear, tfar)
+
+
+def _pt_closest_fwd(ctris, cmin, cmax, woop, o, d, tnear, tfar):
+    out = _pt_closest_core(ctris, cmin, cmax, woop, o, d, tnear, tfar)
+    t, _u, _v, tri = out
+    return out, (ctris.shape, cmin.shape, cmax.shape, woop, d, t, tri,
+                 jnp.shape(tnear), jnp.shape(tfar))
+
+
+def _pt_closest_bwd(res, g):
+    cts, cns, cxs, woop, d, t, tri, tns, tfs = res
+    go, gd = _detached_woop_bwd(woop.reshape(woop.shape[0], 12), d, t,
+                                tri, g)
+    return (jnp.zeros(cts), jnp.zeros(cns), jnp.zeros(cxs),
+            jnp.zeros_like(woop), go, gd, jnp.zeros(tns), jnp.zeros(tfs))
+
+
+_pt_closest_core.defvjp(_pt_closest_fwd, _pt_closest_bwd)
+
+
+@jax.custom_vjp
+def _pt_any_core(ctris, cmin, cmax, o, d, tnear, tfar):
+    from tpu_restir.kernels.cluster_trace import trace_any
+
+    return trace_any(ctris, cmin, cmax, o, d, tnear, tfar)
+
+
+def _pt_any_fwd(ctris, cmin, cmax, o, d, tnear, tfar):
+    out = _pt_any_core(ctris, cmin, cmax, o, d, tnear, tfar)
+    return out, jax.tree.map(jnp.shape, (ctris, cmin, cmax, o, d,
+                                         tnear, tfar))
+
+
+def _pt_any_bwd(res, _g):
+    # boolean visibility is detached (the estimator treats V as data)
+    return tuple(jnp.zeros(s) for s in res)
+
+
+_pt_any_core.defvjp(_pt_any_fwd, _pt_any_bwd)
+
+
+def _closest_chunk_ptrace(o, d, tnear, tfar, scene):
+    return _pt_closest_core(scene.cluster_tris, scene.cluster_min,
+                            scene.cluster_max, scene.woop, o, d,
+                            tnear, tfar)
+
+
+def _any_chunk_ptrace(o, d, tnear, tfar, scene):
+    return _pt_any_core(scene.cluster_tris, scene.cluster_min,
+                        scene.cluster_max, o, d, tnear, tfar)
+
+
 def _closest_chunk_fcluster(o, d, tnear, tfar, scene, p, k, bin_rays):
     v0b, e1b, e2b = _pad_tris(scene, scene.cluster_size)
     return _fc_closest_core(p, k, bin_rays, v0b, e1b, e2b, scene.cluster_min,
@@ -520,7 +617,7 @@ def _tile_perm_inv(h: int, w: int) -> jnp.ndarray:
 
 
 def _swizzle_applicable(backend: str, shape) -> bool:
-    return (backend == "fcluster" and len(shape) == 2
+    return (backend in ("fcluster", "ptrace") and len(shape) == 2
             and shape[0] % _TILE_H == 0 and shape[1] % _TILE_W == 0)
 
 
@@ -536,15 +633,21 @@ def _backend(scene, cfg: IntersectorConfig) -> str:
             raise ValueError(
                 f"backend={cfg.backend!r} requested but the scene has no "
                 "cluster arrays (scene too small; use 'fused'/'woop_mxu')")
+        if cfg.backend == "ptrace" and scene.cluster_tris is None:
+            raise ValueError(
+                "backend='ptrace' requested but the scene has no cluster "
+                "blocks (scene too small; use 'fused'/'woop_mxu')")
         return cfg.backend
-    from tpu_restir.kernels import ray_tri
+    from tpu_restir.kernels import cluster_trace, ray_tri
     if ray_tri.supports(scene, cfg.fused_max_tris) \
             and jax.default_backend() != "cpu":
         # fused Pallas kernel: the whole test stays in VMEM (small scenes)
         return "fused"
+    if cluster_trace.supports(scene) and scene.num_tris > cfg.bvh_threshold:
+        # packet-shortlist Pallas traversal — the production path at scale
+        return "ptrace"
     if scene.cluster_min is not None and scene.num_tris > cfg.bvh_threshold:
-        # packet-cluster culling: dense interval tests + shortlist-round
-        # MXU intersection — the production path at scale
+        # XLA fallback (no Mosaic on this backend): packet-cluster culling
         return "fcluster"
     if scene.cluster_min is not None:
         return "cluster"
@@ -555,6 +658,7 @@ def intersect_closest(scene, o, d, tnear, tfar,
                       cfg: IntersectorConfig = IntersectorConfig()) -> Hit:
     """Closest-hit query (reference Intersection::getClosestIntersection)."""
     backend = _backend(scene, cfg)
+    _log_query("closest", backend, o.shape[:-1])
     if backend == "fused":
         from tpu_restir.kernels import ray_tri
         shape = o.shape[:-1]
@@ -570,6 +674,8 @@ def intersect_closest(scene, o, d, tnear, tfar,
                    tri=btri.reshape(shape), hit=hit)
     if backend == "bvh":
         fn = partial(_closest_chunk_bvh, scene=scene)
+    elif backend == "ptrace":
+        fn = partial(_closest_chunk_ptrace, scene=scene)
     elif backend == "fcluster":
         fn = partial(_closest_chunk_fcluster, scene=scene,
                      p=cfg.packet_size, k=cfg.shortlist_k,
@@ -584,8 +690,9 @@ def intersect_closest(scene, o, d, tnear, tfar,
     else:
         v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
         fn = partial(_closest_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
+    chunk = cfg.ptrace_chunk if backend == "ptrace" else cfg.ray_chunk
     bt, bu, bv, btri = _run_chunked(
-        fn, o, d, tnear, tfar, cfg.ray_chunk,
+        fn, o, d, tnear, tfar, chunk,
         swizzle=_swizzle_applicable(backend, o.shape[:-1]))
     hit = btri >= 0
     return Hit(t=jnp.where(hit, bt, 0.0), u=bu, v=bv, tri=btri, hit=hit)
@@ -595,6 +702,7 @@ def intersect_any(scene, o, d, tnear, tfar,
                   cfg: IntersectorConfig = IntersectorConfig()) -> jnp.ndarray:
     """Any-hit (shadow) query (reference rtcOccluded1 path)."""
     backend = _backend(scene, cfg)
+    _log_query("any", backend, o.shape[:-1])
     if backend == "fused":
         from tpu_restir.kernels import ray_tri
         shape = o.shape[:-1]
@@ -606,6 +714,8 @@ def intersect_any(scene, o, d, tnear, tfar,
                                tn, tf).reshape(shape)
     if backend == "bvh":
         fn = partial(_any_chunk_bvh, scene=scene)
+    elif backend == "ptrace":
+        fn = partial(_any_chunk_ptrace, scene=scene)
     elif backend == "fcluster":
         fn = partial(_any_chunk_fcluster, scene=scene,
                      p=cfg.packet_size, k=cfg.shortlist_k,
@@ -620,7 +730,8 @@ def intersect_any(scene, o, d, tnear, tfar,
     else:
         v0b, e1b, e2b = _pad_tris(scene, min(cfg.tri_block, scene.num_tris))
         fn = partial(_any_chunk, v0b=v0b, e1b=e1b, e2b=e2b)
-    return _run_chunked(fn, o, d, tnear, tfar, cfg.ray_chunk,
+    chunk = cfg.ptrace_chunk if backend == "ptrace" else cfg.ray_chunk
+    return _run_chunked(fn, o, d, tnear, tfar, chunk,
                         swizzle=_swizzle_applicable(backend, o.shape[:-1]))
 
 
