@@ -58,6 +58,8 @@ class RenderParams:
     use_skybox: bool = True
     tonemap: bool = True
     denoise: bool = False
+    # "svgf" (variance-guided a-trous, OIDN-parity default) | "bilateral"
+    denoiser: str = "svgf"
     gamma_correct: bool = True
     tnear_offset: float = 0.01
     tfar_offset: float = 0.001

@@ -153,6 +153,12 @@ def to_world(o1, o2, n, local):
     return (local[..., 0:1] * o1 + local[..., 1:2] * o2 + local[..., 2:3] * n)
 
 
+def luminance(c):
+    """Rec.709 luminance of an (..., 3) color."""
+    return (0.2126 * c[..., 0] + 0.7152 * c[..., 1]
+            + 0.0722 * c[..., 2])
+
+
 def max_component(v):
     return jnp.max(v, axis=-1)
 

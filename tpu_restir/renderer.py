@@ -63,6 +63,10 @@ class Renderer:
         self.cam = cam_mod.make_camera(cfg.camera)
         h, w = cfg.camera.height, cfg.camera.width
         self.accumulator = jnp.zeros((h, w, 3))
+        # luminance second moment, same progressive lerp as the
+        # accumulator; (m2 - mean^2)/n estimates the per-pixel variance
+        # of the accumulated estimate — the SVGF denoiser's guide
+        self.moment2 = jnp.zeros((h, w))
         self.acc_ctr = 0
         self.frame_ctr = 0
         self.render_time = 0.0
@@ -100,6 +104,7 @@ class Renderer:
 
     def reset_accumulation(self):
         self.accumulator = jnp.zeros_like(self.accumulator)
+        self.moment2 = jnp.zeros_like(self.moment2)
         self.acc_ctr = 0
         self.render_time = 0.0
         self._time_base = 0.0
@@ -138,6 +143,9 @@ class Renderer:
         # progressive lerp 1/(n+1) (pg/simpleguidx11.cpp:246-253)
         self.accumulator = self.accumulator + (
             frame - self.accumulator) / (self.acc_ctr + 1.0)
+        lum = mathx.luminance(frame)
+        self.moment2 = self.moment2 + (
+            lum * lum - self.moment2) / (self.acc_ctr + 1.0)
         self.acc_ctr += 1
         self.frame_ctr += 1
         if not self.cfg.accumulate or self.acc_ctr > self.cfg.max_acc_count:
@@ -233,7 +241,16 @@ class Renderer:
                     "denoise=True requires the 'restir' integrator (the "
                     "denoiser's guide buffers come from its G-buffer)")
             from tpu_restir.denoise import denoise_accumulator
-            img = denoise_accumulator(img, self._restir_state.gb_prev)
+            from tpu_restir.mathx import luminance
+            if self.acc_ctr >= 2:
+                mean_l = luminance(self.accumulator)
+                var = jnp.maximum(self.moment2 - mean_l * mean_l, 0.0) \
+                    / self.acc_ctr
+            else:
+                var = None  # spatial fallback (SVGF first-frames rule)
+            img = denoise_accumulator(img, self._restir_state.gb_prev,
+                                      variance=var,
+                                      method=params.denoiser)
         out = display_image(img, params)
         if params.debug_pixel is not None:
             x, y = params.debug_pixel
