@@ -643,8 +643,11 @@ def _backend(scene, cfg: IntersectorConfig) -> str:
             and jax.default_backend() != "cpu":
         # fused Pallas kernel: the whole test stays in VMEM (small scenes)
         return "fused"
-    if cluster_trace.supports(scene) and scene.num_tris > cfg.bvh_threshold:
-        # packet-shortlist Pallas traversal — the production path at scale
+    if cluster_trace.supports(scene):
+        # packet-shortlist Pallas traversal — the production path for
+        # every clustered scene (measured on v5e: beats the lockstep
+        # 'cluster' scan already at 1k tris — 55 vs 36 Mrays/s on the
+        # many-lights frame — and is the only viable backend at 100k)
         return "ptrace"
     if scene.cluster_min is not None and scene.num_tris > cfg.bvh_threshold:
         # XLA fallback (no Mosaic on this backend): packet-cluster culling
