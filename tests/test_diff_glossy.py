@@ -144,3 +144,82 @@ def test_glossy_shininess_gradient_directional(setup):
     if abs(fd) > 1e-7:
         assert np.sign(g) == np.sign(fd), (g, fd)
         assert 0.1 < abs(g) / abs(fd) < 10.0, (g, fd)
+
+
+@pytest.fixture(scope="module")
+def setup_ts(setup):
+    """Same geometry, but the back panel is a Torrance-Sparrow GGX
+    material (eval-only, samples as Lambert — pg/MaterialTS.cpp:7-69)."""
+    scene, cfg, cam = setup
+    mats = scene.materials
+    mat_type = mats.mat_type.at[GLOSSY].set(7)         # MatType.TS
+    roughness = mats.roughness.at[GLOSSY].set(0.45)
+    scene_ts = scene.replace(materials=mats.replace(mat_type=mat_type,
+                                                    roughness=roughness))
+    return scene_ts, cfg, cam
+
+
+def test_ts_roughness_fd(setup_ts):
+    """BASELINE config 4 'roughness': d(loss)/d(GGX roughness) of the TS
+    panel matches central finite differences (the D/G/F terms are smooth
+    in alpha; sampling is cosine-weighted so FD uses identical paths).
+
+    The NEE integrator is the one where MaterialTS roughness is live —
+    the screen-space ReSTIR layer maps TS to LAMBERT like the reference's
+    MaterialTS::getType() (gbuffer.py:104-109), so its roughness gradient
+    is structurally zero there."""
+    scene, cfg, cam = setup_ts
+    cfg = cfg.replace(integrator="nee", direct_strategy="mis")
+    cfg = cfg.replace(params=cfg.params.__class__(
+        use_skybox=False, max_bounce_count=2))
+    seeds = (0, 1)
+    target = jnp.zeros((SIZE, SIZE, 3))
+    params = {"roughness": scene.materials.roughness}
+
+    def loss(p):
+        return loss_fn(p, scene, cam, cfg, seeds, target)
+
+    g = float(np.asarray(jax.grad(loss)(params)["roughness"])[GLOSSY])
+    assert np.isfinite(g) and abs(g) > 1e-8, g
+    fd = _fd(loss, params, "roughness", GLOSSY, 5e-3)
+    assert np.isclose(fd, g, rtol=0.08, atol=1e-6), (fd, g)
+
+
+def test_texture_texel_fd(setup):
+    """BASELINE config 4 'albedo' as a MAP: gradients flow to individual
+    texels of the diffuse texture and match finite differences."""
+    scene, cfg, cam = setup
+    seeds = (0, 1)
+    target = jnp.zeros((SIZE, SIZE, 3))
+    params = {"tex_data": scene.textures.data}
+
+    def loss(p):
+        return loss_fn(p, scene, cam, cfg, seeds, target)
+
+    grads = jax.grad(loss)(params)["tex_data"]
+    ga = np.asarray(grads)
+    assert np.isfinite(ga).all()
+    assert (np.abs(ga) > 1e-8).sum() >= 4, "no texel received gradient"
+    # FD-check the two strongest texels
+    flat = np.argsort(np.abs(ga).ravel())[-2:]
+    for f in flat:
+        idx = np.unravel_index(int(f), ga.shape)
+        g = float(ga[idx])
+        fd = _fd(loss, params, "tex_data", idx, 3e-3)
+        assert np.isclose(fd, g, rtol=0.08, atol=1e-6), (idx, fd, g)
+
+
+def test_emission_cdf_caveat_guarded(setup):
+    """The documented caveat (diff/params.py): emission-magnitude changes
+    must NOT alter the light CDF (areas are geometry-derived, reference
+    TriangleCDF semantics) — so emission gradients stay valid exactly
+    because sampling probabilities are emission-independent."""
+    from tpu_restir.diff.params import apply_params
+
+    scene, cfg, cam = setup
+    bumped = apply_params(
+        scene, {"emission": scene.materials.emission * 3.0})
+    np.testing.assert_array_equal(np.asarray(bumped.lights.cdf),
+                                  np.asarray(scene.lights.cdf))
+    np.testing.assert_array_equal(np.asarray(bumped.lights.tri_idx),
+                                  np.asarray(scene.lights.tri_idx))

@@ -137,3 +137,36 @@ def test_ptrace_detached_winner_grad_matches_brute():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(gd_p), np.asarray(gd_b),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_ptrace_mxu_variant_matches_brute():
+    """The optional Woop/MXU traversal kernels (cluster_size=128 scenes,
+    ptrace_mxu=True) must agree with brute up to the watertight epsilon
+    (HIGHEST-precision matmuls; kernels/woop.py semantics)."""
+    from tpu_restir.scene.materials import MaterialSpec, MatType
+    from tpu_restir.scene.procedural import terrain_scene
+
+    scene = terrain_scene(5_000)
+    # rebuild at the MXU block size
+    import numpy as _np
+
+    from tpu_restir.scene.scene import build_scene
+    specs = [MaterialSpec("g", MatType.LAMBERT, diffuse=(0.5, 0.5, 0.5)),
+             MaterialSpec("l", MatType.LAMBERT, diffuse=(0.7,) * 3,
+                          emission=(10.0,) * 3)]
+    scene = build_scene(_np.asarray(scene.tri_v),
+                        _np.asarray(scene.tri_mat), specs,
+                        cluster_size=128)
+    assert scene.cluster_woop is not None
+    rng = np.random.default_rng(41)
+    o, d, tn, tf = _rays(rng, 640, 4.0)
+    cfg_mxu = IntersectorConfig(backend="ptrace", ptrace_mxu=True)
+    hb = intersect.intersect_closest(scene, o, d, tn, tf, _BRUTE)
+    hm = intersect.intersect_closest(scene, o, d, tn, tf, cfg_mxu)
+    np.testing.assert_array_equal(np.asarray(hm.hit), np.asarray(hb.hit))
+    m = np.asarray(hb.hit)
+    np.testing.assert_allclose(np.asarray(hm.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-4, atol=1e-5)
+    ob = intersect.intersect_any(scene, o, d, tn, tf * 0.5, _BRUTE)
+    om = intersect.intersect_any(scene, o, d, tn, tf * 0.5, cfg_mxu)
+    np.testing.assert_array_equal(np.asarray(om), np.asarray(ob))

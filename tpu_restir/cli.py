@@ -135,19 +135,33 @@ def config_from_args(a, parser=None) -> RenderConfig:
         params_kw = {k: v for k, v in dict(
             max_bounce_count=ov("bounces", a.bounces),
             denoise=ov("denoise", a.denoise),
+            bg_color=ov("bg", a.bg, _vec3),
+            use_skybox=ov("skybox", a.skybox is not None),
+            tonemap=ov("no_tonemap", not a.no_tonemap),
+            gamma_correct=ov("no_gamma", not a.no_gamma),
         ).items() if v is not None}
         restir_kw = {k: v for k, v in dict(
             m_area=ov("m_area", a.m_area), m_brdf=ov("m_brdf", a.m_brdf),
+            do_visibility_pass=ov("visibility_pass", a.visibility_pass),
             do_temporal_reuse=ov("temporal", a.temporal),
             do_spatial_reuse=ov("spatial", a.spatial),
+            spatial_pass_count=ov("spatial_passes", a.spatial_passes),
             spatial_mis=ov("spatial_mis", a.spatial_mis),
             spatial_neighbor_count=ov("neighbors", a.neighbors),
+            spatial_reuse_radius=ov("radius", a.radius),
+            confidence_cap=ov("confidence_cap", a.confidence_cap),
+            reject_dissimilar_neighbors=ov("reject_dissimilar",
+                                           a.reject_dissimilar),
+            debug_reprojection=ov("debug_reprojection",
+                                  a.debug_reprojection),
         ).items() if v is not None}
         top_kw = {k: v for k, v in dict(
             integrator=ov("integrator", a.integrator),
             direct_strategy=ov("direct", a.direct),
             seed=ov("seed", a.seed),
             n_devices=ov("devices", a.devices),
+            show_weights=ov("show_weights", a.show_weights),
+            profile_passes=ov("profile_passes", a.profile_passes),
         ).items() if v is not None}
         return base.replace(
             camera=replace(base.camera, **cam_kw),

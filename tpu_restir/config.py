@@ -117,6 +117,14 @@ class IntersectorConfig:
     backend: str = "auto"
     ray_chunk: int = 1 << 18   # rays per lax.map chunk (tuned on v5e)
     ptrace_chunk: int = 1 << 21  # ptrace: whole 1080p query in one kernel
+    # ptrace: Woop-transform MXU intersection rounds (2 matmuls/round)
+    # instead of the fused-MT VPU form; needs scene.cluster_woop (built
+    # for cluster_size == 128). Watertight-epsilon hit test. Default OFF:
+    # measured on v5e terrain100k the K=4 f32 (multi-pass) matmuls are
+    # latency-bound and 2.4x SLOWER than the fused-MT VPU rounds
+    # (closest 96 vs 39 ms, any 125 vs 56 ms) — kept as a verified
+    # alternative for hardware where small-K f32 matmuls are cheap.
+    ptrace_mxu: bool = False
     tri_block: int = 2048      # triangles per scan block
     bvh_threshold: int = 4096  # auto: packet-cluster culling above this size
     fused_max_tris: int = 512  # auto: fused Pallas kernel up to this size
@@ -149,11 +157,17 @@ class RenderConfig:
     seed: int = 123
     accumulate: bool = True
     max_acc_count: int = 100000
-    # run the ReSTIR pipeline pass-by-pass with device sync between
-    # passes, filling Renderer.timers (the reference's per-pass ms stats,
-    # pg/raytracer.cpp:56-75; pg/simpleguidx11.cpp:361-486). Slower than
-    # the fused frame step; single-chip only.
+    # run the ReSTIR pipeline pass-by-pass, filling Renderer.timers (the
+    # reference's per-pass ms stats, pg/raytracer.cpp:56-75;
+    # pg/simpleguidx11.cpp:361-486). Implemented as PREFIX timing of the
+    # one true pipeline: the step is re-jitted with profile_stop_after
+    # set to each stage and pass time = difference of prefix times — no
+    # second copy of the pass schedule to drift, and it works sharded.
+    # ~(n_passes/2)x slower than the fused step; profiling mode only.
     profile_passes: bool = False
+    # internal: restir_step returns right after this stage ("gbuffer" |
+    # "initial" | "visibility" | "temporal" | "spatial"); None = full
+    profile_stop_after: Optional[str] = None
 
     # distribution: rows sharded over this many devices (1 = single chip)
     n_devices: int = 1

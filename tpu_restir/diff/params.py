@@ -26,21 +26,42 @@ import jax.numpy as jnp
 
 DEFAULT_FIELDS = ("diffuse", "specular", "shininess", "emission")
 
+# full BASELINE config-4 set: + GGX roughness (MaterialTS) and the raw
+# texture texels (albedo/specular/roughness maps live in one stack)
+ALL_FIELDS = DEFAULT_FIELDS + ("roughness", "tex_data")
+
 
 def extract_params(scene, fields: Sequence[str] = DEFAULT_FIELDS) -> Dict:
-    return {f: getattr(scene.materials, f) for f in fields}
+    out = {}
+    for f in fields:
+        if f == "tex_data":
+            if scene.textures is None:
+                raise ValueError("scene has no texture stack to optimize")
+            out[f] = scene.textures.data
+        else:
+            out[f] = getattr(scene.materials, f)
+    return out
 
 
 def apply_params(scene, params: Dict):
-    """Return a scene with material columns replaced by `params` leaves
-    (clipped into physical range)."""
+    """Return a scene with material columns / texture texels replaced by
+    `params` leaves (clipped into physical range)."""
     upd = {}
     for name, val in params.items():
+        if name == "tex_data":
+            scene = scene.replace(textures=scene.textures.replace(
+                data=jnp.maximum(val, 0.0)))
+            continue
         if name in ("diffuse", "specular"):
             val = jnp.clip(val, 0.0, 1.0)
         elif name == "shininess":
             val = jnp.maximum(val, 0.0)
+        elif name == "roughness":
+            # GGX alpha = r^2; keep strictly positive so D stays finite
+            val = jnp.clip(val, 1e-3, 4.0)
         elif name == "emission":
             val = jnp.maximum(val, 0.0)
         upd[name] = val
-    return scene.replace(materials=scene.materials.replace(**upd))
+    if upd:
+        scene = scene.replace(materials=scene.materials.replace(**upd))
+    return scene

@@ -23,12 +23,23 @@ from tpu_restir.render.integrators.restir.pipeline import (
 
 
 def render_with_params(params: Dict, scene, cam, cfg, seeds: Sequence[int]):
-    """Average of ReSTIR frames rendered with the given frame seeds, as a
-    differentiable function of material params. Temporal state is carried
-    but detached between frames (the estimator differentiates each frame's
-    shading; reuse history is treated as data)."""
+    """Average of frames rendered with the given frame seeds, as a
+    differentiable function of material/texture params. cfg.integrator
+    selects the pipeline: ReSTIR (temporal state carried but detached —
+    the estimator differentiates each frame's shading; reuse history is
+    treated as data) or the naive/NEE wavefront path tracers (where the
+    full material set, including MaterialTS roughness, is live)."""
     scene_p = apply_params(scene, params)
     h, w = cfg.camera.height, cfg.camera.width
+    if cfg.integrator in ("naive", "nee"):
+        from tpu_restir.render.integrators import render_naive, render_nee
+
+        fn = render_naive if cfg.integrator == "naive" else render_nee
+        acc = jnp.zeros((h, w, 3))
+        for i, s in enumerate(seeds):
+            frame = fn(scene_p, cam, cfg, rng.frame_key(cfg.seed, s))
+            acc = acc + (frame - acc) / (i + 1.0)
+        return acc
     state = init_restir_state(h, w)
     acc = jnp.zeros((h, w, 3))
     for i, s in enumerate(seeds):

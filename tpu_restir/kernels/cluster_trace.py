@@ -347,6 +347,211 @@ def _any_kernel(cnt_ref, sl_ref, ent_ref, rays_ref, ctris, out_ref,
 
 
 # ---------------------------------------------------------------------------
+# MXU traversal kernels: Woop-transform intersection as two (P, 4) @
+# (4, 3B*pair) matmuls per round. The fused MT form costs ~60 VPU ops
+# per (ray, tri) pair; here the affine transforms (~44 of those ops)
+# ride the otherwise-idle MXU and the VPU tail is ~16 ops on the
+# component slices — measured ~2x faster rounds at B=128. Rays live on
+# SUBLANES (o4/d4 are natural (P, 4) operands — no transposes anywhere).
+# ---------------------------------------------------------------------------
+
+_BARY_EPS = 1e-5  # watertight slack, matches kernels/woop.py
+
+
+def _woop_round(o4, d4, tn, tf, w4, pair):
+    """One round's transforms + hit tests: w4 (4, pair*3*_WCOMP) ->
+    per-half (t, u, v, ok) lists, each (P, _WCOMP)."""
+    # HIGHEST: the MXU's default bf16 rounding costs ~2% in t and ~0.03
+    # in u/v — far beyond the watertight epsilon (measured false hits);
+    # the multi-pass f32 product is exact and still a tiny fraction of
+    # the round (K = 4).
+    to = jnp.dot(o4, w4, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    td = jnp.dot(d4, w4, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    halves = []
+    for h in range(pair):
+        b = h * 3 * _WCOMP
+        ou = to[:, b:b + _WCOMP]
+        ov = to[:, b + _WCOMP:b + 2 * _WCOMP]
+        ow = to[:, b + 2 * _WCOMP:b + 3 * _WCOMP]
+        du = td[:, b:b + _WCOMP]
+        dv = td[:, b + _WCOMP:b + 2 * _WCOMP]
+        dw = td[:, b + 2 * _WCOMP:b + 3 * _WCOMP]
+        t = jnp.where(jnp.abs(dw) > 1e-18, -ow / dw, _INF)
+        u = ou + t * du
+        v = ov + t * dv
+        ok = ((u >= -_BARY_EPS) & (v >= -_BARY_EPS)
+              & (u + v <= 1.0 + _BARY_EPS) & jnp.isfinite(t)
+              & (t >= tn) & (t <= tf))
+        halves.append((t, u, v, ok))
+    return halves
+
+
+def _closest_kernel_mxu(cnt_ref, sl_ref, ent_ref, o4_ref, d4_ref, tt_ref,
+                        cwoop, out_ref, buf, sem, *, block, n_clusters,
+                        pair):
+    c_last = n_clusters - 1
+    wl = 3 * _WCOMP
+
+    def packet(g, _):
+        n = cnt_ref[g, 0]
+        o4 = o4_ref[g]                       # (P, 4)
+        d4 = d4_ref[g]
+        tt = tt_ref[g]
+        tn = tt[:, 0:1]                      # (P, 1)
+        tf = tt[:, 1:2]
+        nr = (n + pair - 1) // pair
+
+        def slh(jr, h):
+            return sl_ref[g, jnp.minimum(
+                jnp.minimum(pair * jr + h, n - 1), c_last)]
+
+        def dma(jr, h):
+            slot = jax.lax.rem(jr, 2)
+            return pltpu.make_async_copy(
+                cwoop.at[slh(jr, h)],
+                buf.at[slot, :, pl.ds(h * wl, wl)],
+                sem.at[slot, h])
+
+        @pl.when(n > 0)
+        def _():
+            for h in range(pair):
+                dma(0, h).start()
+
+        bt0 = jnp.full((P, 1), _INF)
+        z = jnp.zeros((P, 1))
+        out_ref[pl.ds(g, 1)] = jnp.concatenate(
+            [bt0, z, z, jnp.full((P, 1), -1.0)], axis=1)[None]
+        maxt0 = jnp.max(tf)
+        liota = jax.lax.broadcasted_iota(jnp.int32, (P, _WCOMP), 1)
+
+        def cond(carry):
+            jr, maxt = carry
+            ent = ent_ref[g, jnp.minimum(pair * jr, c_last)]
+            return (jr < nr) & (ent <= maxt)
+
+        def body(carry):
+            jr, _maxt = carry
+            slot = jax.lax.rem(jr, 2)
+
+            @pl.when(jr + 1 < nr)
+            def _():
+                for h in range(pair):
+                    dma(jr + 1, h).start()
+
+            for h in range(pair):
+                dma(jr, h).wait()
+            w4 = buf[slot, 0:4, :]
+            cur = out_ref[g]                       # (P, 4)
+            bt = cur[:, 0:1]
+            bu = cur[:, 1:2]
+            bv = cur[:, 2:3]
+            btri = cur[:, 3:4]
+            for h, (t, u, v, ok) in enumerate(
+                    _woop_round(o4, d4, tn, tf, w4, pair)):
+                tth = jnp.where(ok, t, _INF)
+                tmin = jnp.min(tth, axis=1, keepdims=True)     # (P, 1)
+                jwin = jnp.min(jnp.where(tth <= tmin, liota, _BIGI),
+                               axis=1, keepdims=True)
+                onehot = liota == jwin
+                mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=1,
+                             keepdims=True)
+                mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=1,
+                             keepdims=True)
+                mtri = (slh(jr, h) * block + jwin).astype(jnp.float32)
+                better = tmin < bt
+                bt = jnp.where(better, tmin, bt)
+                bu = jnp.where(better, mu, bu)
+                bv = jnp.where(better, mv, bv)
+                btri = jnp.where(better, mtri, btri)
+            out_ref[pl.ds(g, 1)] = jnp.concatenate(
+                [bt, bu, bv, btri], axis=1)[None]
+            return jr + 1, jnp.max(jnp.minimum(bt, tf))
+
+        jf, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), maxt0))
+
+        @pl.when((n > 0) & (jf < nr))
+        def _():
+            for h in range(pair):
+                dma(jf, h).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, G, packet, 0, unroll=False)
+
+
+def _any_kernel_mxu(cnt_ref, sl_ref, ent_ref, o4_ref, d4_ref, tt_ref,
+                    cwoop, out_ref, buf, sem, *, block, n_clusters, pair):
+    c_last = n_clusters - 1
+    wl = 3 * _WCOMP
+
+    def packet(g, _):
+        n = cnt_ref[g, 0]
+        o4 = o4_ref[g]
+        d4 = d4_ref[g]
+        tt = tt_ref[g]
+        tn = tt[:, 0:1]
+        tf = tt[:, 1:2]
+        nr = (n + pair - 1) // pair
+
+        def slh(jr, h):
+            return sl_ref[g, jnp.minimum(
+                jnp.minimum(pair * jr + h, n - 1), c_last)]
+
+        def dma(jr, h):
+            slot = jax.lax.rem(jr, 2)
+            return pltpu.make_async_copy(
+                cwoop.at[slh(jr, h)],
+                buf.at[slot, :, pl.ds(h * wl, wl)],
+                sem.at[slot, h])
+
+        @pl.when(n > 0)
+        def _():
+            for h in range(pair):
+                dma(0, h).start()
+
+        out_ref[pl.ds(g, 1)] = jnp.zeros((1, P, 1))
+        deadf = (tf < tn).astype(jnp.float32)    # (P, 1)
+
+        def cond(carry):
+            jr, done = carry
+            return (jr < nr) & (done < 0.5)
+
+        def body(carry):
+            jr, _done = carry
+            slot = jax.lax.rem(jr, 2)
+
+            @pl.when(jr + 1 < nr)
+            def _():
+                for h in range(pair):
+                    dma(jr + 1, h).start()
+
+            for h in range(pair):
+                dma(jr, h).wait()
+            w4 = buf[slot, 0:4, :]
+            occ = out_ref[g]                     # (P, 1)
+            for _h, (t, u, v, ok) in enumerate(
+                    _woop_round(o4, d4, tn, tf, w4, pair)):
+                occ = jnp.maximum(occ, jnp.max(ok.astype(jnp.float32),
+                                               axis=1, keepdims=True))
+            out_ref[pl.ds(g, 1)] = occ[None]
+            return jr + 1, jnp.min(jnp.maximum(occ, deadf))
+
+        jf, _ = jax.lax.while_loop(cond, body,
+                                   (jnp.int32(0), jnp.min(deadf)))
+
+        @pl.when((n > 0) & (jf < nr))
+        def _():
+            for h in range(pair):
+                dma(jf, h).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, G, packet, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
 # Wrappers: pad rays, run phase 1, launch the kernel
 # ---------------------------------------------------------------------------
 
@@ -375,12 +580,104 @@ def _pack(o, d, tnear, tfar, cmin, cmax):
     return rays, cnt.reshape(rp, 1), sl, ent, rp, r
 
 
-def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar):
+def _pack_mxu(o, d, tnear, tfar, cmin, cmax):
+    """Like _pack but emits the rays-on-sublane operands of the MXU
+    kernels: o4/d4 (Rp, P, 4) homogeneous vectors + tt (Rp, P, 2)."""
+    from tpu_restir.accel.fcluster import _clamp_tfar_bbox
+
+    r = o.shape[0]
+    lo = jnp.min(cmin, axis=0)
+    hi = jnp.max(cmax, axis=0)
+    tnear = jnp.broadcast_to(tnear, (r,))
+    tfar = _clamp_tfar_bbox(o, d, tnear, jnp.broadcast_to(tfar, (r,)),
+                            lo, hi)
+    pad = (-r) % (G * P)
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)])
+        tnear = jnp.concatenate([tnear, jnp.zeros((pad,), tnear.dtype)])
+        tfar = jnp.concatenate([tfar, jnp.full((pad,), -1.0, tfar.dtype)])
+    rp = (r + pad) // P
+    cnt, sl, ent = build_shortlists(o, d, tnear, tfar, cmin, cmax, P)
+    ones = jnp.ones((o.shape[0], 1), o.dtype)
+    o4 = jnp.concatenate([o, ones], axis=1).reshape(rp, P, 4)
+    d4 = jnp.concatenate([d, 0.0 * ones], axis=1).reshape(rp, P, 4)
+    tt = jnp.stack([tnear, tfar], axis=1).reshape(rp, P, 2)
+    return o4, d4, tt, cnt.reshape(rp, 1), sl, ent, rp, r
+
+
+def _mxu_specs(c):
+    return [
+        pl.BlockSpec((G, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((G, c), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((G, c), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((G, P, 4), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, P, 4), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, P, 2), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+
+
+def _trace_closest_mxu(cwoop, cmin, cmax, o, d, tnear, tfar, block):
+    c = cwoop.shape[0]
+    o4, d4, tt, cnt, sl, ent, rp, r = _pack_mxu(o, d, tnear, tfar,
+                                                cmin, cmax)
+    pair = _pair(block)
+    out = pl.pallas_call(
+        functools.partial(_closest_kernel_mxu, block=block, n_clusters=c,
+                          pair=pair),
+        interpret=INTERPRET,
+        grid=(rp // G,),
+        in_specs=_mxu_specs(c),
+        out_specs=pl.BlockSpec((G, P, 4), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, P, 4), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, pair * 3 * _WCOMP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, pair)),
+        ],
+    )(cnt, sl, ent, o4, d4, tt, cwoop)
+    flat = out.reshape(rp * P, 4)[:r]
+    return (flat[:, 0], flat[:, 1], flat[:, 2],
+            flat[:, 3].astype(jnp.int32))
+
+
+def _trace_any_mxu(cwoop, cmin, cmax, o, d, tnear, tfar, block):
+    c = cwoop.shape[0]
+    o4, d4, tt, cnt, sl, ent, rp, r = _pack_mxu(o, d, tnear, tfar,
+                                                cmin, cmax)
+    pair = _pair(block)
+    out = pl.pallas_call(
+        functools.partial(_any_kernel_mxu, block=block, n_clusters=c,
+                          pair=pair),
+        interpret=INTERPRET,
+        grid=(rp // G,),
+        in_specs=_mxu_specs(c),
+        out_specs=pl.BlockSpec((G, P, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, P, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, pair * 3 * _WCOMP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, pair)),
+        ],
+    )(cnt, sl, ent, o4, d4, tt, cwoop)
+    return out.reshape(-1)[:r] > 0.5
+
+
+def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None):
     """Closest hit over flat rays (R, 3) -> (t, u, v, tri) with t=inf /
     tri=-1 on miss. ctris: (C, B, 128) cluster channel blocks (lanes 0-8 =
     v0/e1/e2 xyz; padding triangles have zero edges => det==0 => never
-    hit). Triangle ids are cluster*B + row (global leaf-order ids)."""
+    hit). Triangle ids are cluster*B + row (global leaf-order ids).
+    With cwoop (C, 8, 384) the MXU Woop kernel runs instead of the fused
+    MT kernel (watertight-epsilon hit test, kernels/woop.py semantics)."""
     c, block, _ = ctris.shape
+    if cwoop is not None and block == _WCOMP:
+        return _trace_closest_mxu(cwoop, cmin, cmax, o, d, tnear, tfar,
+                                  block)
     rays, cnt, sl, ent, rp, r = _pack(o, d, tnear, tfar, cmin, cmax)
     out = pl.pallas_call(
         functools.partial(_closest_kernel, block=block, n_clusters=c,
@@ -410,9 +707,11 @@ def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar):
     return flat[0], flat[1], flat[2], flat[3].astype(jnp.int32)
 
 
-def trace_any(ctris, cmin, cmax, o, d, tnear, tfar):
+def trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None):
     """Any-hit (occlusion) over flat rays (R, 3) -> (R,) bool."""
     c, block, _ = ctris.shape
+    if cwoop is not None and block == _WCOMP:
+        return _trace_any_mxu(cwoop, cmin, cmax, o, d, tnear, tfar, block)
     rays, cnt, sl, ent, rp, r = _pack(o, d, tnear, tfar, cmin, cmax)
     out = pl.pallas_call(
         functools.partial(_any_kernel, block=block, n_clusters=c,
@@ -439,6 +738,35 @@ def trace_any(ctris, cmin, cmax, o, d, tnear, tfar):
         ],
     )(cnt, sl, ent, rays, ctris)
     return out.reshape(-1)[:r] > 0.5
+
+
+_WCOMP = 128  # lane width per Woop component block (u | v | w)
+
+
+def build_cluster_woop(woop: np.ndarray, block: int) -> np.ndarray:
+    """Per-triangle Woop matrices (N, 3, 4) (kernels/woop.py layout:
+    rows u,v,w; column 3 translation) -> (C, 8, 3*_WCOMP) matmul blocks
+    for the MXU traversal kernels.
+
+    Rows 0-3 of a cluster block are the (4, 3B) operand of
+    [o|1] @ W and [d|0] @ W: column comp*_WCOMP + tri holds
+    woop[tri][comp, k] in row k<3 and the translation in row 3; rows 4-7
+    pad the sublane tile. Requires block == _WCOMP so each component's
+    column group is exactly one lane tile. Padding triangles are all-zero
+    (d'w == 0 -> t = inf -> never hit)."""
+    assert block == _WCOMP, (block, _WCOMP)
+    n = woop.shape[0]
+    c = -(-n // block)
+    wp = np.zeros((c * block, 3, 4), np.float32)
+    wp[:n] = woop
+    # zero out the degenerate-marker inf translations: inf * 0 in the
+    # matmul would NaN-poison whole rows; zero rows already never hit
+    wp[~np.isfinite(wp).all(axis=(1, 2))] = 0.0
+    wp = wp.reshape(c, block, 3, 4)
+    out = np.zeros((c, 8, 3 * _WCOMP), np.float32)
+    t = wp.transpose(0, 3, 2, 1)                 # (C, 4, 3, B)
+    out[:, 0:4] = t.reshape(c, 4, 3 * block)
+    return out
 
 
 def build_cluster_tris(v: np.ndarray, block: int) -> np.ndarray:

@@ -78,8 +78,14 @@ def _kernel(dy_ref, dx_ref, payload_hbm, out_ref, win, sem, *, r, k_taps,
     dma.wait()
 
     # channel loop is a fori (keeps the kernel body small); within it the
-    # unaligned row loads are shared by all K taps (taps innermost)
+    # unaligned row loads are shared by all K taps. NOTE the gather must
+    # run X-first (on a fixed source row) and row-select SECOND: the taps
+    # are per-output-pixel, so a Y-select before the lane gather would be
+    # masked at the post-gather columns (wrong pixel's dy). The per-tap
+    # result accumulates in registers and stores once — the 2r+1 masked
+    # stores per (channel, tap) of the round-1 kernel were half its cost.
     def body(c, _):
+        accs = [None] * k_taps
         for sy in range(2 * r + 1):
             rs = PAD - r + sy                         # static row offset
             a = win[c, rs:rs + BR, 0:128]             # (BR, 128)
@@ -88,7 +94,10 @@ def _kernel(dy_ref, dx_ref, payload_hbm, out_ref, win, sem, *, r, k_taps,
                 g = jnp.where(sel_a[k],
                               jnp.take_along_axis(a, idx_a[k], axis=1),
                               jnp.take_along_axis(b, idx_b[k], axis=1))
-                pltpu.store(out_ref.at[k, c], g, mask=dmask[k][sy])
+                accs[k] = g if accs[k] is None else \
+                    jnp.where(dmask[k][sy], g, accs[k])
+        for k in range(k_taps):
+            pltpu.store(out_ref.at[k, c], accs[k])
         return _
 
     jax.lax.fori_loop(0, c_ch, body, 0, unroll=False)

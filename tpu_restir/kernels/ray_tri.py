@@ -6,10 +6,11 @@ HBM; for the per-p_hat occlusion queries that make ReSTIR's shading math
 (pg/ReSTIRIntegrator.cpp:180-211) this traffic dominates. These kernels
 keep the whole test in VMEM/registers:
 
-  * rays are tiled (8, 128) channels-first — one VPU tile per channel;
+  * rays are tiled channels-first as (8, TILE//128, 128) blocks — TILE
+    rays per grid step (one (TILE//128, 128) VPU block per channel);
   * the per-triangle Woop transform rows live in SMEM and broadcast as
-    scalars into vector math: ~35 VPU ops per triangle per 1024 rays,
-    zero intermediate HBM traffic;
+    scalars into vector math (~35 VPU ops per triangle per TILE rays,
+    zero intermediate HBM traffic);
   * any-hit ORs into an occlusion mask; closest-hit keeps a running
     (t, u, v, tri) min in registers (reference rtcOccluded1 /
     rtcIntersect1 semantics, pg/Intersection.h:8-113).
@@ -35,7 +36,11 @@ _BARY_EPS = 1e-5   # watertight slack, matches kernels/woop.py
 # overhead dominated (measured 71 Mrays/s at 36 tris — ~4% of VPU peak).
 # 8192 rays/step = (64, 128) blocks amortizes it 8x; VMEM cost is
 # 8 ch x 64 x 128 x 4 B = 256 KiB in + small accumulators, well under
-# the ~16 MiB budget.
+# the ~16 MiB budget. Tradeoff: every query pads up to a TILE multiple,
+# so small batches (low-res debug renders, per-sample probes) do up to
+# 8x wasted work — acceptable because production queries are 2M+ rays
+# and supports() routes small SCENES (not small batches) elsewhere; if
+# small-batch latency ever matters, pick _ROWS adaptively from n.
 TILE = 8192
 _ROWS = TILE // 128  # sublane rows per grid step
 
@@ -45,9 +50,9 @@ INTERPRET = False
 
 
 def _woop_tuvok(rays, w, t_idx):
-    """One triangle's (t, u, v, ok) over an (8, 128) ray tile.
+    """One triangle's (t, u, v, ok) over an (8, _ROWS, 128) ray block.
 
-    rays: ref (8, 8, 128) — channels ox,oy,oz,dx,dy,dz,tnear,tfar.
+    rays: ref (8, _ROWS, 128) — channels ox,oy,oz,dx,dy,dz,tnear,tfar.
     w: SMEM ref (T, 12) — rows of the 3x4 Woop matrix (u, v, w rows).
     """
     ox, oy, oz = rays[0], rays[1], rays[2]
@@ -139,7 +144,8 @@ def _closest_kernel(rays_ref, w_ref, out_ref, *, n_tris):
 
 
 def _pack_rays(o, d, tnear, tfar):
-    """(N, 3) SoA -> (8, NT, 128) channels-first tiles, padded."""
+    """(N, 3) SoA -> (8, nt*_ROWS, 128) channels-first blocks, padded to
+    a TILE multiple (nt = number of grid steps)."""
     n = o.shape[0]
     nt = -(-n // TILE)
     pad = nt * TILE - n

@@ -47,6 +47,11 @@ class PassTimers:
             + (time.perf_counter() - t0)
         self.counts[name] = self.counts.get(name, 0) + 1
 
+    def record(self, name: str, seconds: float) -> None:
+        """Record an externally measured duration (prefix profiling)."""
+        self.durations[name] = self.durations.get(name, 0.0) + seconds
+        self.counts[name] = self.counts.get(name, 0) + 1
+
     def mean_ms(self) -> Dict[str, float]:
         """Average per-invocation milliseconds per pass."""
         return {k: 1e3 * v / max(self.counts.get(k, 1), 1)

@@ -92,11 +92,25 @@ def restir_step(scene, cam, cfg, frame_seed, state: RestirState, frame_ctr,
                                   view_mat=tree.view_mat, focal=tree.focal)
         return ext_fields(tree)
 
+    def early(res_now, gb_now):
+        """profile_stop_after cut: keep output/state structure so the
+        prefix-timed variants (Renderer profiling mode) jit-compile with
+        the same signature as the full step."""
+        frame0 = jnp.zeros(gb_now.depth.shape + (3,))
+        return frame0, RestirState(res_prev=res_now, gb_prev=gb_now)
+
+    stop = cfg.profile_stop_after
     gb = gb_mod.gbuffer_fill(scene, cam, cfg, frame_seed, ys, xs)
+    if stop == "gbuffer":
+        return early(rsv.empty_reservoir(gb.depth.shape), gb)
     res = initial_pass(frame_seed, scene, gb, cfg, ys, xs)
+    if stop == "initial":
+        return early(res, gb)
 
     if r.do_visibility_pass:
         res = visibility_pass(scene, gb, res, cfg)
+    if stop == "visibility":
+        return early(res, gb)
 
     gb_ext = extend(gb) if (r.do_temporal_reuse or r.do_spatial_reuse) \
         else gb
@@ -114,6 +128,8 @@ def restir_step(scene, cam, cfg, frame_seed, state: RestirState, frame_ctr,
         # pg/simpleguidx11.cpp:408)
         res = rsv.select(jnp.broadcast_to(frame_ctr > 0, res.w_sum.shape),
                          res_t, res)
+    if stop == "temporal":
+        return early(res, gb)
 
     if r.do_spatial_reuse:
         # static payload-row offset of output row 0 for the windowed
@@ -124,6 +140,8 @@ def restir_step(scene, cam, cfg, frame_seed, state: RestirState, frame_ctr,
             res = spatial_pass(frame_seed, i, scene, gb, res, cfg, ys, xs,
                                gb_ext=gb_ext, res_ext=extend(res),
                                ext_row0=ext_row0, ext_top=ext_top)
+    if stop == "spatial":
+        return early(res, gb)
 
     frame = shade_pass(scene, gb, res, cfg)
     if reasons is not None:

@@ -156,22 +156,23 @@ def _any_chunk(o, d, tnear, tfar, v0b, e1b, e2b):
     return out
 
 
-def _tile_fold(x, h, w):
-    """Row-major flat (h*w, ...) -> packet-major 8x32-tile order, as a
-    reshape+transpose (an explicit gather of 2M rows costs ~100 ms on
-    v5e; the transpose form is ~free)."""
+def _tile_fold(x, h, w, q: int = 1):
+    """Row-major flat (q*h*w, ...) -> packet-major 8x32-tile order per
+    image, as a reshape+transpose (an explicit gather of 2M rows costs
+    ~100 ms on v5e; the transpose form is ~free). q = product of leading
+    batch dims (a batched query folds each image independently)."""
     rest = x.shape[1:]
-    xr = x.reshape(h // _TILE_H, _TILE_H, w // _TILE_W, _TILE_W, *rest)
-    xr = jnp.swapaxes(xr, 1, 2)
-    return xr.reshape((h * w,) + rest)
+    xr = x.reshape(q, h // _TILE_H, _TILE_H, w // _TILE_W, _TILE_W, *rest)
+    xr = jnp.swapaxes(xr, 2, 3)
+    return xr.reshape((q * h * w,) + rest)
 
 
-def _tile_unfold(x, h, w):
+def _tile_unfold(x, h, w, q: int = 1):
     """Inverse of _tile_fold."""
     rest = x.shape[1:]
-    xr = x.reshape(h // _TILE_H, w // _TILE_W, _TILE_H, _TILE_W, *rest)
-    xr = jnp.swapaxes(xr, 1, 2)
-    return xr.reshape((h * w,) + rest)
+    xr = x.reshape(q, h // _TILE_H, w // _TILE_W, _TILE_H, _TILE_W, *rest)
+    xr = jnp.swapaxes(xr, 2, 3)
+    return xr.reshape((q * h * w,) + rest)
 
 
 def _run_chunked(fn, o, d, tnear, tfar, chunk, swizzle: bool = False):
@@ -185,8 +186,9 @@ def _run_chunked(fn, o, d, tnear, tfar, chunk, swizzle: bool = False):
     tn = jnp.broadcast_to(jnp.asarray(tnear, jnp.float32), shape).reshape(-1)
     tf = jnp.broadcast_to(jnp.asarray(tfar, jnp.float32), shape).reshape(-1)
     if swizzle:
-        h, w = shape
-        of, df, tn, tf = (_tile_fold(x, h, w) for x in (of, df, tn, tf))
+        h, w = shape[-2], shape[-1]
+        q = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+        of, df, tn, tf = (_tile_fold(x, h, w, q) for x in (of, df, tn, tf))
     if r <= chunk:
         out = fn(of, df, tn, tf)
     else:
@@ -203,8 +205,9 @@ def _run_chunked(fn, o, d, tnear, tfar, chunk, swizzle: bool = False):
         out = jax.tree.map(lambda x: x.reshape((nc * chunk,) + x.shape[2:])[:r],
                            out)
     if swizzle:
-        out = jax.tree.map(lambda x: _tile_unfold(x, shape[0], shape[1]),
-                           out)
+        h, w = shape[-2], shape[-1]
+        q = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+        out = jax.tree.map(lambda x: _tile_unfold(x, h, w, q), out)
     return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), out)
 
 
@@ -448,24 +451,29 @@ _fc_any_core.defvjp(_fc_any_fwd, _fc_any_bwd)
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
-def _pt_closest_core(ctris, cmin, cmax, woop, o, d, tnear, tfar):
+def _pt_closest_core(ctris, cwoop, cmin, cmax, woop, o, d, tnear, tfar):
     from tpu_restir.kernels.cluster_trace import trace_closest
 
-    return trace_closest(ctris, cmin, cmax, o, d, tnear, tfar)
+    return trace_closest(ctris, cmin, cmax, o, d, tnear, tfar,
+                         cwoop=cwoop)
 
 
-def _pt_closest_fwd(ctris, cmin, cmax, woop, o, d, tnear, tfar):
-    out = _pt_closest_core(ctris, cmin, cmax, woop, o, d, tnear, tfar)
+def _pt_closest_fwd(ctris, cwoop, cmin, cmax, woop, o, d, tnear, tfar):
+    out = _pt_closest_core(ctris, cwoop, cmin, cmax, woop, o, d,
+                           tnear, tfar)
     t, _u, _v, tri = out
-    return out, (ctris.shape, cmin.shape, cmax.shape, woop, d, t, tri,
+    return out, (ctris.shape,
+                 None if cwoop is None else cwoop.shape,
+                 cmin.shape, cmax.shape, woop, d, t, tri,
                  jnp.shape(tnear), jnp.shape(tfar))
 
 
 def _pt_closest_bwd(res, g):
-    cts, cns, cxs, woop, d, t, tri, tns, tfs = res
+    cts, cws, cns, cxs, woop, d, t, tri, tns, tfs = res
     go, gd = _detached_woop_bwd(woop.reshape(woop.shape[0], 12), d, t,
                                 tri, g)
-    return (jnp.zeros(cts), jnp.zeros(cns), jnp.zeros(cxs),
+    return (jnp.zeros(cts), None if cws is None else jnp.zeros(cws),
+            jnp.zeros(cns), jnp.zeros(cxs),
             jnp.zeros_like(woop), go, gd, jnp.zeros(tns), jnp.zeros(tfs))
 
 
@@ -473,34 +481,36 @@ _pt_closest_core.defvjp(_pt_closest_fwd, _pt_closest_bwd)
 
 
 @jax.custom_vjp
-def _pt_any_core(ctris, cmin, cmax, o, d, tnear, tfar):
+def _pt_any_core(ctris, cwoop, cmin, cmax, o, d, tnear, tfar):
     from tpu_restir.kernels.cluster_trace import trace_any
 
-    return trace_any(ctris, cmin, cmax, o, d, tnear, tfar)
+    return trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=cwoop)
 
 
-def _pt_any_fwd(ctris, cmin, cmax, o, d, tnear, tfar):
-    out = _pt_any_core(ctris, cmin, cmax, o, d, tnear, tfar)
-    return out, jax.tree.map(jnp.shape, (ctris, cmin, cmax, o, d,
+def _pt_any_fwd(ctris, cwoop, cmin, cmax, o, d, tnear, tfar):
+    out = _pt_any_core(ctris, cwoop, cmin, cmax, o, d, tnear, tfar)
+    return out, jax.tree.map(jnp.shape, (ctris, cwoop, cmin, cmax, o, d,
                                          tnear, tfar))
 
 
 def _pt_any_bwd(res, _g):
     # boolean visibility is detached (the estimator treats V as data)
-    return tuple(jnp.zeros(s) for s in res)
+    return tuple(None if s is None else jnp.zeros(s) for s in res)
 
 
 _pt_any_core.defvjp(_pt_any_fwd, _pt_any_bwd)
 
 
-def _closest_chunk_ptrace(o, d, tnear, tfar, scene):
-    return _pt_closest_core(scene.cluster_tris, scene.cluster_min,
+def _closest_chunk_ptrace(o, d, tnear, tfar, scene, use_mxu=True):
+    cwoop = scene.cluster_woop if use_mxu else None
+    return _pt_closest_core(scene.cluster_tris, cwoop, scene.cluster_min,
                             scene.cluster_max, scene.woop, o, d,
                             tnear, tfar)
 
 
-def _any_chunk_ptrace(o, d, tnear, tfar, scene):
-    return _pt_any_core(scene.cluster_tris, scene.cluster_min,
+def _any_chunk_ptrace(o, d, tnear, tfar, scene, use_mxu=True):
+    cwoop = scene.cluster_woop if use_mxu else None
+    return _pt_any_core(scene.cluster_tris, cwoop, scene.cluster_min,
                         scene.cluster_max, o, d, tnear, tfar)
 
 
@@ -617,8 +627,10 @@ def _tile_perm_inv(h: int, w: int) -> jnp.ndarray:
 
 
 def _swizzle_applicable(backend: str, shape) -> bool:
-    return (backend in ("fcluster", "ptrace") and len(shape) == 2
-            and shape[0] % _TILE_H == 0 and shape[1] % _TILE_W == 0)
+    # 2-D pixel grids and batched (Q, ..., H, W) query stacks both fold
+    # per-image into 8x32-tile packets
+    return (backend in ("fcluster", "ptrace") and len(shape) >= 2
+            and shape[-2] % _TILE_H == 0 and shape[-1] % _TILE_W == 0)
 
 
 def _backend(scene, cfg: IntersectorConfig) -> str:
@@ -628,6 +640,15 @@ def _backend(scene, cfg: IntersectorConfig) -> str:
                 "backend='bvh' requested but the scene has no wide BVH "
                 f"(num_tris={scene.num_tris} <= cluster threshold; "
                 "build_scene only builds one for larger scenes)")
+        if cfg.backend == "bvh" and scene.num_tris > 50_000:
+            # fence: the lockstep wide-BVH walk is a test/debug backend;
+            # at production scale its compiled program has crashed the v5e
+            # runtime (round-2 blocker, never root-caused — superseded by
+            # 'ptrace'). Refuse rather than risk killing the TPU worker.
+            raise ValueError(
+                "backend='bvh' is fenced to scenes <= 50k triangles "
+                f"(got {scene.num_tris}); use 'ptrace' (production) or "
+                "'fcluster' at scale")
         if cfg.backend in ("fcluster", "cluster") \
                 and scene.cluster_min is None:
             raise ValueError(
@@ -678,7 +699,8 @@ def intersect_closest(scene, o, d, tnear, tfar,
     if backend == "bvh":
         fn = partial(_closest_chunk_bvh, scene=scene)
     elif backend == "ptrace":
-        fn = partial(_closest_chunk_ptrace, scene=scene)
+        fn = partial(_closest_chunk_ptrace, scene=scene,
+                     use_mxu=cfg.ptrace_mxu)
     elif backend == "fcluster":
         fn = partial(_closest_chunk_fcluster, scene=scene,
                      p=cfg.packet_size, k=cfg.shortlist_k,
@@ -718,7 +740,8 @@ def intersect_any(scene, o, d, tnear, tfar,
     if backend == "bvh":
         fn = partial(_any_chunk_bvh, scene=scene)
     elif backend == "ptrace":
-        fn = partial(_any_chunk_ptrace, scene=scene)
+        fn = partial(_any_chunk_ptrace, scene=scene,
+                     use_mxu=cfg.ptrace_mxu)
     elif backend == "fcluster":
         fn = partial(_any_chunk_fcluster, scene=scene,
                      p=cfg.packet_size, k=cfg.shortlist_k,

@@ -73,12 +73,12 @@ class Renderer:
         self._time_base = 0.0
         self._t_reset = time.perf_counter()
         self.timers = metrics.PassTimers()
-        self._pass_fns = None
+        self._profile_steps = None
         self._restir_state = None
-        if cfg.profile_passes and (cfg.integrator != "restir"
-                                   or cfg.n_devices > 1):
-            raise ValueError("profile_passes requires the single-chip "
-                             "'restir' integrator")
+        self._mesh = None
+        if cfg.profile_passes and cfg.integrator != "restir":
+            raise ValueError("profile_passes requires the 'restir' "
+                             "integrator")
         if cfg.integrator == "restir":
             from tpu_restir.render.integrators.restir.pipeline import (
                 init_restir_state, restir_step)
@@ -88,11 +88,12 @@ class Renderer:
                 from tpu_restir.dist.sharded import (
                     device_put_replicated, device_put_row_sharded,
                     make_sharded_restir_step)
-                mesh = make_mesh(cfg.n_devices, cfg.mesh_axis)
-                self.scene = device_put_replicated(self.scene, mesh)
+                self._mesh = make_mesh(cfg.n_devices, cfg.mesh_axis)
+                self.scene = device_put_replicated(self.scene, self._mesh)
                 self._restir_state = device_put_row_sharded(
-                    self._restir_state, mesh, h)
-                self._restir_step = make_sharded_restir_step(mesh, cfg)
+                    self._restir_state, self._mesh, h)
+                self._restir_step = make_sharded_restir_step(self._mesh,
+                                                             cfg)
             else:
                 self._restir_step = jax.jit(
                     partial(restir_step), static_argnames=("cfg",))
@@ -153,73 +154,60 @@ class Renderer:
         return frame
 
     def _timed_step(self, fseed):
-        """Pass-by-pass frame with device sync per pass, filling
-        self.timers (the reference's inline per-pass wall-clock timers,
-        pg/simpleguidx11.cpp:361-486)."""
-        from tpu_restir.render.integrators.restir import gbuffer as gb_mod
-        from tpu_restir.render.integrators.restir import reservoir as rsv
-        from tpu_restir.render.integrators.restir.initial import (
-            initial_pass, visibility_pass)
-        from tpu_restir.render.integrators.restir.pipeline import RestirState
-        from tpu_restir.render.integrators.restir.shade import shade_pass
-        from tpu_restir.render.integrators.restir.spatial import spatial_pass
-        from tpu_restir.render.integrators.restir.temporal import (
-            temporal_pass)
+        """Per-pass timing of the ONE true pipeline (the reference's
+        per-pass ms stats, pg/raytracer.cpp:56-75;
+        pg/simpleguidx11.cpp:361-486).
 
+        Rather than maintaining a second copy of the pass schedule (which
+        drifts — round 3's copy silently lacked debug_reprojection), the
+        full restir_step is compiled once per PREFIX via
+        cfg.profile_stop_after; pass time = difference between adjacent
+        prefix times. Works identically under row sharding."""
         cfg = self.cfg
-        h, w = cfg.camera.height, cfg.camera.width
-        if self._pass_fns is None:
-            ys = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
-            xs = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w))
-            self._pass_fns = dict(
-                gbuffer=jax.jit(lambda s, c, fs: gb_mod.gbuffer_fill(
-                    s, c, cfg, fs, ys, xs)),
-                initial=jax.jit(lambda fs, s, g: initial_pass(
-                    fs, s, g, cfg, ys, xs)),
-                visibility=jax.jit(lambda s, g, r: visibility_pass(
-                    s, g, r, cfg)),
-                temporal=jax.jit(
-                    lambda fs, s, g, gp, r, rp, fc: rsv.select(
-                        jnp.broadcast_to(fc > 0, r.w_sum.shape),
-                        temporal_pass(fs, s, g, gp, r, rp, cfg, ys, xs,
-                                      gb_ext=g, gb_prev_ext=gp, ext_row0=0),
-                        r)),
-                spatial=[jax.jit(
-                    lambda fs, s, g, r, i=i: spatial_pass(
-                        fs, i, s, g, r, cfg, ys, xs, gb_ext=g, res_ext=r,
-                        ext_row0=0))
-                    for i in range(cfg.restir.spatial_pass_count)],
-                shade=jax.jit(lambda s, g, r: shade_pass(s, g, r, cfg)),
-            )
-        f = self._pass_fns
-        t = self.timers
-        fc = jnp.asarray(self.frame_ctr)
         r_cfg = cfg.restir
-        with t.measure("gbuffer") as m:
-            gb = f["gbuffer"](self.scene, self.cam, fseed)
-            m(gb)
-        with t.measure("initial") as m:
-            res = f["initial"](fseed, self.scene, gb)
-            m(res)
+        stages = ["gbuffer", "initial"]
         if r_cfg.do_visibility_pass:
-            with t.measure("visibility") as m:
-                res = f["visibility"](self.scene, gb, res)
-                m(res)
+            stages.append("visibility")
         if r_cfg.do_temporal_reuse:
-            with t.measure("temporal") as m:
-                res = f["temporal"](fseed, self.scene, gb,
-                                    self._restir_state.gb_prev, res,
-                                    self._restir_state.res_prev, fc)
-                m(res)
+            stages.append("temporal")
         if r_cfg.do_spatial_reuse:
-            with t.measure("spatial") as m:
-                for i in range(r_cfg.spatial_pass_count):
-                    res = f["spatial"][i](fseed, self.scene, gb, res)
-                m(res)
-        with t.measure("shade") as m:
-            frame = f["shade"](self.scene, gb, res)
-            m(frame)
-        return frame, RestirState(res_prev=res, gb_prev=gb)
+            stages.append("spatial")
+        stages.append("shade")  # full pipeline
+        if self._profile_steps is None:
+            from tpu_restir.render.integrators.restir.pipeline import (
+                restir_step)
+            self._profile_steps = {}
+            for st in stages:
+                v = cfg.replace(
+                    profile_stop_after=None if st == "shade" else st)
+                if self._mesh is not None:
+                    from tpu_restir.dist.sharded import (
+                        make_sharded_restir_step)
+                    self._profile_steps[st] = (
+                        v, make_sharded_restir_step(self._mesh, v))
+                else:
+                    from tpu_restir.render.integrators.restir.pipeline \
+                        import restir_step as _rs
+                    self._profile_steps[st] = (
+                        v, jax.jit(partial(_rs),
+                                   static_argnames=("cfg",)))
+        fc = jnp.asarray(self.frame_ctr)
+        prev_t = 0.0
+        out = None
+        for st in stages:
+            v, fn = self._profile_steps[st]
+            t0 = time.perf_counter()
+            if self._mesh is not None:
+                out = fn(self.scene, self.cam, fseed, self._restir_state,
+                         fc)
+            else:
+                out = fn(self.scene, self.cam, v, fseed,
+                         self._restir_state, fc)
+            jax.block_until_ready(out)
+            cum = time.perf_counter() - t0
+            self.timers.record(st, max(cum - prev_t, 0.0))
+            prev_t = cum
+        return out
 
     def run(self, n_frames: int):
         for _ in range(n_frames):

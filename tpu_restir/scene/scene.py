@@ -41,7 +41,8 @@ class SceneArrays(struct.PyTreeNode):
     woop: Optional[jnp.ndarray] = None          # (N, 3, 4) MXU affine maps
     cluster_min: Optional[jnp.ndarray] = None   # (C, 3) Morton-cluster AABBs
     cluster_max: Optional[jnp.ndarray] = None   # (C, 3)
-    cluster_tris: Optional[jnp.ndarray] = None  # (C, B, 16) ptrace blocks
+    cluster_tris: Optional[jnp.ndarray] = None  # (C, B, 128) ptrace blocks
+    cluster_woop: Optional[jnp.ndarray] = None  # (C, 8, 384) MXU blocks
     cluster_size: int = struct.field(pytree_node=False, default=0)
     bvh: Optional["BVH8Arrays"] = None          # wide BVH (accel.wide)
     # optional resources
@@ -74,7 +75,7 @@ def build_scene(
     # indices need no indirection (tpu_restir.accel.{bvh,wide}). BVH leaf
     # order is spatially coherent, so the Morton-cluster AABBs for the
     # cluster-culling backend are just per-chunk bounds of the same order.
-    cluster_min = cluster_max = cluster_tris = None
+    cluster_min = cluster_max = cluster_tris = cluster_woop = None
     bvh8 = None
     if n_tris > cluster_size:
         from tpu_restir.accel.bvh import build_bvh2
@@ -97,9 +98,13 @@ def build_scene(
         vc = vp.reshape(n_cl, cluster_size * 3, 3)
         cluster_min = vc.min(axis=1).astype(np.float32)
         cluster_max = vc.max(axis=1).astype(np.float32)
-        from tpu_restir.kernels.cluster_trace import build_cluster_tris
+        from tpu_restir.kernels.cluster_trace import (build_cluster_tris,
+                                                       build_cluster_woop)
+        from tpu_restir.kernels.woop import build_woop_matrices as _bw
 
         cluster_tris = build_cluster_tris(v, cluster_size)
+        if cluster_size == 128:
+            cluster_woop = build_cluster_woop(_bw(v), cluster_size)
     e1 = v[:, 1] - v[:, 0]
     e2 = v[:, 2] - v[:, 0]
     areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
@@ -142,6 +147,8 @@ def build_scene(
         cluster_max=jnp.asarray(cluster_max) if cluster_max is not None
         else None,
         cluster_tris=jnp.asarray(cluster_tris) if cluster_tris is not None
+        else None,
+        cluster_woop=jnp.asarray(cluster_woop) if cluster_woop is not None
         else None,
         cluster_size=cluster_size if cluster_min is not None else 0,
         bvh=bvh8.to_device() if bvh8 is not None else None,
