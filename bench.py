@@ -89,14 +89,17 @@ def main():
     traced_rays = sum(e["rays"] for e in qlog)
     traced_rpp = traced_rays / float(WIDTH * HEIGHT)
 
-    # NOTE: sync via a scalar fetch per frame — on the tunneled backend
-    # jax.block_until_ready returns before device work completes, so a
-    # block-based timer reports dispatch time, not compute time.
+    # NOTE: sync via ONE scalar fetch after the loop — frames chain
+    # through the reservoir state and the device queue is FIFO, so the
+    # final frame's sum completing implies every frame executed; a
+    # per-frame fetch would add the tunneled backend's ~26 ms round trip
+    # to every frame (jax.block_until_ready returns before device work
+    # completes on this backend, so it cannot be used either).
     t0 = time.perf_counter()
     for f in range(1, N_FRAMES + 1):
         frame, state = step(scene, cam, cfg, rng.make_frame_seed(0, f),
                             state, jnp.asarray(f))
-        float(jnp.sum(frame))
+    float(jnp.sum(frame))
     dt = time.perf_counter() - t0
 
     # throughput on the TRACED ray count (exact); the analytic
@@ -118,7 +121,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_bwd):
         v, _g = vg(params)
-        float(v)
+    float(v)  # in-order device queue: last value implies all executed
     dt_bwd = (time.perf_counter() - t0) / n_bwd
     mrays_fwd_bwd = rays_frame / dt_bwd / 1e6
 
@@ -148,7 +151,7 @@ def main():
             for f in range(1, n_frames + 1):
                 frame, st = step(sc, cam2, cfg, rng.make_frame_seed(0, f),
                                  st, jnp.asarray(f))
-                float(jnp.sum(frame))
+            float(jnp.sum(frame))
             dt2 = time.perf_counter() - t0
             extras.append(
                 f"{label} {rays_frame * n_frames / dt2 / 1e6:.1f}")
