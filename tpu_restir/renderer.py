@@ -98,6 +98,26 @@ class Renderer:
                 self._restir_step = jax.jit(
                     partial(restir_step), static_argnames=("cfg",))
 
+    def update_config(self, cfg: RenderConfig):
+        """Swap render knobs mid-run (the reference's live ImGui edits,
+        pg/simpleguidx11.cpp:161-217): the next frame compiles (or reuses)
+        the new pipeline variant. Resolution/integrator/sharding are
+        fixed at construction; accumulation is NOT reset (reset is an
+        explicit user action in the reference too)."""
+        old = self.cfg
+        if (cfg.camera.width != old.camera.width
+                or cfg.camera.height != old.camera.height
+                or cfg.integrator != old.integrator
+                or cfg.n_devices != old.n_devices):
+            raise ValueError("update_config cannot change resolution, "
+                             "integrator, or device count — build a new "
+                             "Renderer")
+        self.cfg = cfg
+        self._profile_steps = None   # variants re-derive from the new cfg
+        if cfg.integrator == "restir" and self._mesh is not None:
+            from tpu_restir.dist.sharded import make_sharded_restir_step
+            self._restir_step = make_sharded_restir_step(self._mesh, cfg)
+
     def set_camera(self, view_from=None, view_at=None):
         """Camera move (one-frame-latency orbit analog); accumulation is
         NOT reset automatically, matching the reference."""

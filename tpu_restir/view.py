@@ -13,9 +13,12 @@ real motion. PNG refresh (--export-every) covers non-TTY use.
 from __future__ import annotations
 
 import math
+import select
 import sys
 
 import numpy as np
+
+from tpu_restir.config import SpatialMis, replace
 
 
 def ansi_preview(img: np.ndarray, max_cols: int = 96,
@@ -57,13 +60,86 @@ def orbit_camera(view_from, view_at, angle_deg: float):
     return tuple((at + rot @ rel).tolist())
 
 
+# Live parameter editing — the headless analog of the reference's ImGui
+# panel (pg/simpleguidx11.cpp:161-217, pg/ReSTIRIntegrator.cpp:37-87).
+# Each key maps to a config edit; the Renderer recompiles the affected
+# pipeline variant on the next frame (jit caches previously-used
+# variants, so toggling back is instant).
+KEY_HELP = ("keys: [t]emporal [s]patial [v]isibility  m/M area-  b/B brdf-"
+            "candidates  n/N neighbors  p cycle-spatial-MIS  [d]enoise  "
+            "[a]ces  [r]eset-acc  [q]uit")
+
+
+def apply_key(cfg, key: str):
+    """One keypress -> new RenderConfig (None = no change; 'q' handled by
+    the caller). Pure function so the mapping is unit-testable."""
+    r = cfg.restir
+    p = cfg.params
+    if key == "t":
+        return cfg.replace(restir=replace(
+            r, do_temporal_reuse=not r.do_temporal_reuse))
+    if key == "s":
+        return cfg.replace(restir=replace(
+            r, do_spatial_reuse=not r.do_spatial_reuse))
+    if key == "v":
+        return cfg.replace(restir=replace(
+            r, do_visibility_pass=not r.do_visibility_pass))
+    if key == "m":
+        return cfg.replace(restir=replace(r, m_area=max(r.m_area - 1, 0)))
+    if key == "M":
+        return cfg.replace(restir=replace(r, m_area=r.m_area + 1))
+    if key == "b":
+        return cfg.replace(restir=replace(r, m_brdf=max(r.m_brdf - 1, 0)))
+    if key == "B":
+        return cfg.replace(restir=replace(r, m_brdf=r.m_brdf + 1))
+    if key == "n":
+        return cfg.replace(restir=replace(
+            r, spatial_neighbor_count=max(r.spatial_neighbor_count - 1, 0)))
+    if key == "N":
+        return cfg.replace(restir=replace(
+            r, spatial_neighbor_count=r.spatial_neighbor_count + 1))
+    if key == "p":
+        i = SpatialMis.ALL.index(r.spatial_mis)
+        nxt = SpatialMis.ALL[(i + 1) % len(SpatialMis.ALL)]
+        return cfg.replace(restir=replace(r, spatial_mis=nxt))
+    if key == "d":
+        return cfg.replace(params=replace(p, denoise=not p.denoise))
+    if key == "a":
+        return cfg.replace(params=replace(p, tonemap=not p.tonemap))
+    return None
+
+
+def _poll_keys(stdin=sys.stdin):
+    """Non-blocking read of pending keypresses (TTY raw mode assumed off:
+    reads whole lines too — each character is applied)."""
+    keys = []
+    try:
+        while select.select([stdin], [], [], 0)[0]:
+            ch = stdin.read(1)
+            if not ch:
+                break
+            keys.extend(ch.strip())
+    except (OSError, ValueError):
+        pass
+    return keys
+
+
 def run_view(renderer, n_frames: int, orbit_deg_per_frame: float = 0.0,
-             refresh_every: int = 1, out=sys.stdout):
-    """Progressive render with live terminal display."""
+             refresh_every: int = 1, out=sys.stdout, stdin=sys.stdin):
+    """Progressive render with live terminal display + key editing."""
     is_tty = hasattr(out, "isatty") and out.isatty()
     view_from = renderer.cfg.camera.view_from
     view_at = renderer.cfg.camera.view_at
     for i in range(n_frames):
+        for key in (_poll_keys(stdin) if is_tty else []):
+            if key == "q":
+                return renderer.accumulator
+            if key == "r":
+                renderer.reset_accumulation()
+                continue
+            new_cfg = apply_key(renderer.cfg, key)
+            if new_cfg is not None:
+                renderer.update_config(new_cfg)
         # accumulation deliberately NOT reset on camera motion — matches
         # the reference (reset is explicit, pg/simpleguidx11.cpp:303-306)
         if orbit_deg_per_frame:
@@ -84,6 +160,11 @@ def run_view(renderer, n_frames: int, orbit_deg_per_frame: float = 0.0,
             if ms:
                 line += "  |  " + "  ".join(f"{k}={v:.1f}ms"
                                             for k, v in ms.items())
-            out.write(line + "\n")
+            r = renderer.cfg.restir
+            knobs = (f"M={r.m_area}+{r.m_brdf} "
+                     f"T={'on' if r.do_temporal_reuse else 'off'} "
+                     f"S={'on' if r.do_spatial_reuse else 'off'}"
+                     f"({r.spatial_neighbor_count}n,{r.spatial_mis})")
+            out.write(line + "\n" + knobs + "  " + KEY_HELP + "\n")
             out.flush()
     return renderer.accumulator
