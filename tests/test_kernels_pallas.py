@@ -193,3 +193,34 @@ def test_ray_tri_closest_vjp_matches_brute_autodiff():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gd_k), np.asarray(gd_b),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_gather_local_vjp_disk_bounded_taps():
+    """disk_r2 lets the scatter kernel skip impossible offset combos;
+    with genuinely disk-sampled taps the gradient must still equal the
+    XLA scatter-add transpose exactly."""
+    rng = np.random.default_rng(19)
+    h, w, c, k, rad2 = 16, 128, 6, 5, 30.0
+    payload = jnp.asarray(rng.standard_normal((h, w, c)), jnp.float32)
+    ang = rng.uniform(0, 2 * np.pi, (k, h, w))
+    rad = np.sqrt(rng.uniform(0, rad2, (k, h, w)))
+    dy = np.trunc(rad * np.sin(ang)).astype(np.int64)
+    dx = np.trunc(rad * np.cos(ang)).astype(np.int64)
+    tys = jnp.asarray(np.clip(np.arange(h)[None, :, None] + dy, 0, h - 1),
+                      jnp.int32)
+    txs = jnp.asarray(np.clip(np.arange(w)[None, None, :] + dx, 0, w - 1),
+                      jnp.int32)
+
+    def loss(p, disk_r2):
+        return jnp.sum(lg.gather_local(p, tys, txs, 5, 0, disk_r2) ** 2)
+
+    g_disk = jax.grad(lambda p: loss(p, int(rad2)))(payload)
+    # reference: XLA scatter-add transpose (kernel path disabled)
+    old = lg.SCATTER_KERNEL
+    lg.SCATTER_KERNEL = False
+    try:
+        g_ref = jax.grad(lambda p: loss(p, None))(payload)
+    finally:
+        lg.SCATTER_KERNEL = old
+    np.testing.assert_allclose(np.asarray(g_disk), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)

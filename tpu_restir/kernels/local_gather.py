@@ -103,10 +103,10 @@ def _kernel(dy_ref, dx_ref, payload_hbm, out_ref, win, sem, *, r, k_taps,
     jax.lax.fori_loop(0, c_ch, body, 0, unroll=False)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-@functools.partial(jax.jit, static_argnames=("r", "top"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnames=("r", "top", "disk_r2"))
 def gather_local(payload: jnp.ndarray, tys: jnp.ndarray, txs: jnp.ndarray,
-                 r: int, top: int = 0) -> jnp.ndarray:
+                 r: int, top: int = 0, disk_r2=None) -> jnp.ndarray:
     """payload (EH, W, C) f32, tap coords tys/txs (K, H, W) int32 in
     PAYLOAD coordinates with |tys - (pixel_row + top)| <= r <= PAD
     (pre-clamped). Returns (K, H, W, C) f32: payload[tys, txs, :].
@@ -115,6 +115,10 @@ def gather_local(payload: jnp.ndarray, tys: jnp.ndarray, txs: jnp.ndarray,
     same-shape payload, the halo width for a halo-extended strip
     (tpu_restir.dist.halo.extend_rows), so the sharded spatial pass keeps
     this kernel instead of falling back to an XLA gather.
+
+    `disk_r2` (static, optional): when the offsets are known to satisfy
+    dy^2 + dx^2 <= disk_r2 (disk-sampled neighbor taps), the backward
+    scatter skips the impossible square-corner combos.
 
     Differentiable in payload (gather transpose = scatter-add; the
     Pallas scatter kernel serves the same-shape case, extended payloads
@@ -160,8 +164,8 @@ def gather_local(payload: jnp.ndarray, tys: jnp.ndarray, txs: jnp.ndarray,
     return jnp.transpose(out, (0, 2, 3, 1))          # (K, H, W, C)
 
 
-def _scatter_kernel(dy_ref, dx_ref, g_hbm, out_ref, gwin, dywin, dxwin,
-                    acc_ref, gsem, osem, *, r, k_taps, c_ch):
+def _scatter_kernel(key_ref, g_hbm, out_ref, gwin, keywin,
+                    acc_ref, gsem, osem, *, r, k_taps, c_ch, disk_r2):
     """Transpose of the windowed gather: every destination pixel p sums
     the cotangents of the source pixels q (within the offset window)
     whose tap targeted p: gp[p] = sum_{q,k : q+off_k(q)=p} g[k,q].
@@ -179,17 +183,15 @@ def _scatter_kernel(dy_ref, dx_ref, g_hbm, out_ref, gwin, dywin, dxwin,
             gwin.at[slot], gsem.at[slot])
 
     gdma(0, 0).start()
-    # offset windows in padded coordinates (pads hold a sentinel > r so
-    # they never match any (sy, sx))
-    dma_y = pltpu.make_async_copy(
-        dy_ref.at[:, pl.ds(i * BR, wr), pl.ds(j * BC, wc)], dywin, osem)
-    dma_y.start()
-    dma_y.wait()
-    dma_x = pltpu.make_async_copy(
-        dx_ref.at[:, pl.ds(i * BR, wr), pl.ds(j * BC, wc)], dxwin, osem)
-    dma_x.start()
-    dma_x.wait()
+    # fused offset-key window in padded coordinates (key = (dy+r)*W +
+    # (dx+r); pads hold a sentinel that never matches): ONE compare per
+    # (sy, sx) combo instead of two, and one window DMA instead of two
+    dma_k = pltpu.make_async_copy(
+        key_ref.at[:, pl.ds(i * BR, wr), pl.ds(j * BC, wc)], keywin, osem)
+    dma_k.start()
+    dma_k.wait()
 
+    kw = 2 * r + 1
     acc_ref[:] = jnp.zeros((c_ch, BR, BC), jnp.float32)
     for k in range(k_taps):
         slot = k % 2
@@ -199,20 +201,28 @@ def _scatter_kernel(dy_ref, dx_ref, g_hbm, out_ref, gwin, dywin, dxwin,
         for sy in range(-r, r + 1):
             # source rows q_y = p_y - sy at window offset PAD - sy
             rs = PAD - sy
-            dyr = dywin[k, rs:rs + BR, :]
-            dxr = dxwin[k, rs:rs + BR, :]
+            keyr = keywin[k, rs:rs + BR, :]
             row = jnp.zeros((c_ch, BR, BC), jnp.float32)
+            any_sx = False
             for sx in range(-r, r + 1):
+                # offsets are truncations of points in a disk of radius
+                # sqrt(disk_r2) (+ screen clamping, which only shrinks
+                # them), so square-corner combos can never occur — skip
+                # their 32-channel masked adds (24 of 121 at radius 30)
+                if sy * sy + sx * sx > disk_r2:
+                    continue
+                any_sx = True
                 cs = PAD - sx
-                m = ((dyr[:, cs:cs + BC] == sy)
-                     & (dxr[:, cs:cs + BC] == sx))
+                m = keyr[:, cs:cs + BC] == ((sy + r) * kw + (sx + r))
                 sl = gwin[slot, :, rs:rs + BR, cs:cs + BC]
                 row = row + jnp.where(m[None], sl, 0.0)
-            acc_ref[:] = acc_ref[:] + row
+            if any_sx:
+                acc_ref[:] = acc_ref[:] + row
     out_ref[:] = acc_ref[:]
 
 
-def _scatter_local_transpose(g, tys, txs, r, h, w, c):
+def _scatter_local_transpose(g, tys, txs, r, h, w, c,
+                             disk_r2=None):
     """g (K, H, W, C) cotangents of gather_local -> payload cotangent
     (H, W, C), as a Pallas windowed sum (XLA's scatter-add moves ~one
     element per cycle and dominated the backward pass)."""
@@ -223,19 +233,19 @@ def _scatter_local_transpose(g, tys, txs, r, h, w, c):
     dx = txs - xs
     gcf = jnp.transpose(g, (0, 3, 1, 2))             # (K, C, H, W)
     gcf = jnp.pad(gcf, ((0, 0), (0, 0), (PAD, PAD), (PAD, 128 - PAD)))
-    sent = jnp.int32(PAD + 1)                        # never matches
-    dyp = jnp.pad(dy, ((0, 0), (PAD, PAD), (PAD, 128 - PAD)),
-                  constant_values=sent)
-    dxp = jnp.pad(dx, ((0, 0), (PAD, PAD), (PAD, 128 - PAD)),
-                  constant_values=sent)
+    kw = 2 * r + 1
+    key = (dy + r) * kw + (dx + r)                   # fused offset key
+    keyp = jnp.pad(key, ((0, 0), (PAD, PAD), (PAD, 128 - PAD)),
+                   constant_values=jnp.int32(-1))    # never matches
     grid = (h // BR, w // BC)
     wr, wc = BR + 2 * PAD, BC + 128
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, r=r, k_taps=k, c_ch=c),
+        functools.partial(_scatter_kernel, r=r, k_taps=k, c_ch=c,
+                          disk_r2=2 * r * r if disk_r2 is None
+                          else disk_r2),
         interpret=INTERPRET,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -245,24 +255,24 @@ def _scatter_local_transpose(g, tys, txs, r, h, w, c):
         scratch_shapes=[
             pltpu.VMEM((2, c, wr, wc), jnp.float32),
             pltpu.VMEM((k, wr, wc), jnp.int32),
-            pltpu.VMEM((k, wr, wc), jnp.int32),
             pltpu.VMEM((c, BR, BC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
-    )(dyp, dxp, gcf)
+    )(keyp, gcf)
     return jnp.transpose(out, (1, 2, 0))
 
 
-def _gather_local_fwd(payload, tys, txs, r, top):
-    return gather_local(payload, tys, txs, r, top), (tys, txs, payload.shape)
+def _gather_local_fwd(payload, tys, txs, r, top, disk_r2=None):
+    return gather_local(payload, tys, txs, r, top, disk_r2), (
+        tys, txs, payload.shape)
 
 
-def _gather_local_bwd(r, top, res, g):
+def _gather_local_bwd(r, top, disk_r2, res, g):
     tys, txs, (eh, w, c) = res
     if (SCATTER_KERNEL and top == 0 and eh == tys.shape[1]
             and supports(eh, w, r)):
-        gp = _scatter_local_transpose(g, tys, txs, r, eh, w, c)
+        gp = _scatter_local_transpose(g, tys, txs, r, eh, w, c, disk_r2)
     else:
         # extended payloads: XLA scatter-add transpose (tys are payload
         # coordinates already)

@@ -17,27 +17,22 @@ _EPS = 1e-30
 
 
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray,
-              mxu_max_rows: int = 1024,
+              mxu_max_rows: int = 0,
               onehot_budget_bytes: int = 256 * 1024 * 1024) -> jnp.ndarray:
-    """Row select `table[idx]` for a SMALL f32 table, TPU-native.
+    """Row select `table[idx]` (vertex attributes, material columns,
+    light tables; millions of indices into a small table).
 
-    XLA's gather moves ~one element per cycle on TPU, so selecting rows
-    of a tiny table (vertex attributes, material columns, light tables)
-    with millions of indices dominates whole passes. A one-hot matmul
-    puts the same select on the MXU: out = onehot(idx) @ table. With
-    HIGHEST precision the single non-zero per row makes the result
-    bit-exact (the bf16x6 product decomposition reconstructs 1.0 * v
-    exactly), so this is a drop-in replacement — for f32 payloads whose
-    magnitudes are normal floats (pack small ints as f32, not bitcasts).
+    History: rounds 1-3 routed small tables through a one-hot MXU matmul
+    on the premise that XLA's gather moves ~one element per cycle on
+    TPU. Re-measured on this stack (v5e, round 4) the premise is stale:
+    the PLAIN gather is 3.7x faster than the one-hot even at 36 rows
+    (4.7 vs 17.2 ms for 2M x 25ch) and stays ~5-22 ms up to 100k rows —
+    the one-hot operand's HBM round trip dominates, and at ~1k-row
+    tables (the many-lights scene's per-light materials) the chunked
+    one-hot made the initial pass 10x slower. Default is therefore the
+    gather; the one-hot survives behind mxu_max_rows > 0 for A/B.
 
     table: (T, C) float32; idx: any integer shape -> idx.shape + (C,).
-
-    The one-hot operand is (N, T) f32 in HBM (XLA does not fuse its
-    producer into the dot), so the path is gated on its FOOTPRINT
-    N*T*4 bytes, not just on T: 2M indices x a 1000-row table would
-    otherwise allocate ~8 GB. Over budget, the index stream is chunked
-    through lax.map so each chunk's one-hot stays bounded; tables
-    larger than mxu_max_rows fall back to a plain gather.
     """
     t, _c = table.shape
     if t > mxu_max_rows:

@@ -83,8 +83,13 @@ def spatial_pass(frame_seed, pass_idx: int, scene, gb: gb_mod.GBuffer,
     if (ext_top is not None
             and ext_h == shape[0] + 2 * ext_top
             and lg.supports(shape[0], w, r_bound)):
+        # offsets are truncated disk samples of radius sqrt(radius_cfg):
+        # dy^2+dx^2 <= floor(radius_cfg); lets the backward scatter skip
+        # impossible square-corner offset combos
         taps = lg.gather_local(payload, tap_ys, tap_xs, r_bound,
-                               top=ext_top)
+                               top=ext_top,
+                               disk_r2=int(max(r.spatial_reuse_radius,
+                                               0.0)))
     else:
         taps = pk.gather_packed(payload, tap_ys, tap_xs)  # (K, h, w, 32)
     gbs = [gb] + [pk.unpack_gb(taps[i - 1, ..., :pk.GB_CH], gb)
