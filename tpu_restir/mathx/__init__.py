@@ -16,6 +16,34 @@ from tpu_restir.mathx.special import calc_i_m, ibeta_nonnorm  # noqa: F401
 _EPS = 1e-30
 
 
+@jax.custom_vjp
+def _rows_core(table, idx):
+    return table[idx]
+
+
+def _rows_fwd(table, idx):
+    return table[idx], (idx, table.shape)
+
+
+_MASKSUM_MAX_ROWS = 128
+
+
+def _rows_bwd(res, g):
+    idx, (t, c) = res
+    gf = g.reshape(-1, c)
+    ix = idx.reshape(-1)
+    if t <= _MASKSUM_MAX_ROWS:
+        rows = [jnp.sum(jnp.where((ix == r)[:, None], gf, 0.0), axis=0)
+                for r in range(t)]
+        gt = jnp.stack(rows)
+    else:
+        gt = jnp.zeros((t, c), gf.dtype).at[ix].add(gf)
+    return gt, None
+
+
+_rows_core.defvjp(_rows_fwd, _rows_bwd)
+
+
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray,
               mxu_max_rows: int = 0,
               onehot_budget_bytes: int = 256 * 1024 * 1024) -> jnp.ndarray:
@@ -33,10 +61,17 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray,
     gather; the one-hot survives behind mxu_max_rows > 0 for A/B.
 
     table: (T, C) float32; idx: any integer shape -> idx.shape + (C,).
+
+    Differentiable in `table`: the gather's transpose is a scatter-add,
+    which XLA serializes badly when millions of indices collide into a
+    few rows (material tables) — the custom VJP computes the table
+    cotangent as T masked row-sums for small tables instead (measured:
+    the XLA scatter-add transpose cost the whole Cornell backward ~60 ms
+    at T=4).
     """
     t, _c = table.shape
     if t > mxu_max_rows:
-        return table[idx]
+        return _rows_core(table, idx)
     flat = idx.reshape(-1)
     n = flat.shape[0]
 

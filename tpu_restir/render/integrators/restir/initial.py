@@ -17,6 +17,7 @@ bit-identical under row sharding.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_restir import mathx, rng
 from tpu_restir.render import brdf, intersect
@@ -78,26 +79,47 @@ def _closest_emissive_visible(scene, o, d, tnear, cfg):
     reference's own shadow-segment epsilon policy,
     pg/Intersection.h:42-60). Rays that miss every emissive die before
     the scene query entirely."""
+    import jax
+
     from tpu_restir.render.intersect import (Hit, _closest_chunk,
                                              _run_chunked)
     p = cfg.params
     idx = scene.lights.tri_idx
     e = idx.shape[0]
-    block = min(cfg.intersector.tri_block, e)
-    nb = -(-e // block)
-    pad = nb * block - e
+    from tpu_restir.kernels import ray_tri
+    if (scene.woop is not None and e <= 2048
+            and (jax.default_backend() != "cpu" or ray_tri.INTERPRET)):
+        # fused Pallas kernel over a subset "scene view" (its Woop rows
+        # live in SMEM): measured 33 ms vs 442 ms for the XLA brute scan
+        # at E=1000 x 2M rays — the (chunk, E) Möller-Trumbore
+        # intermediates spill to HBM at this width
+        sub = scene.replace(tri_v=scene.tri_v[idx], woop=scene.woop[idx])
+        shape = o.shape[:-1]
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        tnf = jnp.broadcast_to(jnp.asarray(tnear, jnp.float32),
+                               shape).reshape(-1)
+        bt, bu, bv, btri = ray_tri.closest_hit(
+            sub, o.reshape(-1, 3), d.reshape(-1, 3), tnf,
+            jnp.full((n,), jnp.inf, jnp.float32))
+        bt, bu, bv, btri = (x.reshape(shape) for x in (bt, bu, bv, btri))
+        bt = jnp.where(btri >= 0, bt, jnp.inf)
+    else:
+        block = min(cfg.intersector.tri_block, e)
+        nb = -(-e // block)
+        pad = nb * block - e
 
-    def padv(x, fill):
-        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill,
-                                            x.dtype)]) if pad else x
+        def padv(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill,
+                             x.dtype)]) if pad else x
 
-    v0b = padv(scene.tri_v0[idx], 1e30).reshape(nb, block, 3)
-    e1b = padv(scene.tri_e1[idx], 0.0).reshape(nb, block, 3)
-    e2b = padv(scene.tri_e2[idx], 0.0).reshape(nb, block, 3)
-    from functools import partial
-    bt, bu, bv, btri = _run_chunked(
-        partial(_closest_chunk, v0b=v0b, e1b=e1b, e2b=e2b),
-        o, d, tnear, jnp.inf, cfg.intersector.ray_chunk)
+        v0b = padv(scene.tri_v0[idx], 1e30).reshape(nb, block, 3)
+        e1b = padv(scene.tri_e1[idx], 0.0).reshape(nb, block, 3)
+        e2b = padv(scene.tri_e2[idx], 0.0).reshape(nb, block, 3)
+        from functools import partial
+        bt, bu, bv, btri = _run_chunked(
+            partial(_closest_chunk, v0b=v0b, e1b=e1b, e2b=e2b),
+            o, d, tnear, jnp.inf, cfg.intersector.ray_chunk)
     hit_e = btri >= 0
     # global triangle ids for the subset winners
     gtri = mathx.take_rows(idx.astype(jnp.float32)[:, None],
