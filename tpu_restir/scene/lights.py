@@ -64,8 +64,14 @@ def pick_triangle_from_uniform(u, lights: EmissiveCDF):
 
 
 def pick_light_index(u, lights: EmissiveCDF):
-    """CDF pick -> index into the light list (not the scene tri list)."""
-    k = jnp.searchsorted(lights.cdf, u, side="left")
+    """CDF pick -> index into the light list (not the scene tri list).
+
+    method='compare_all' turns the per-ray binary search into one dense
+    (rays, lights) compare-sum that fuses on the VPU — measured 1.5 ms
+    vs 111 ms for the default scan lowering at 2M rays x 1000 lights on
+    v5e; the O(rays*lights) form is gated to modest light counts."""
+    method = "compare_all" if lights.count <= 8192 else "scan"
+    k = jnp.searchsorted(lights.cdf, u, side="left", method=method)
     return jnp.clip(k, 0, lights.count - 1)
 
 
