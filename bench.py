@@ -144,9 +144,15 @@ def main():
                     view_from=(0.0, -7.0, 4.0), view_at=(0.0, 0.0, 0.5),
                     pixel_sampler="random"))
             st = init_restir_state(HEIGHT, WIDTH)
+            # per-scene traced-ray log: query counts are config-determined
+            # but logging each scene separately catches scene-dependent
+            # query regressions (e.g. the emissive-subset path)
+            intersect_mod.QUERY_LOG = qlog2 = []
             frame, st = step(sc, cam2, cfg, rng.make_frame_seed(0, 0), st,
                              jnp.asarray(0))
             float(jnp.sum(frame))
+            intersect_mod.QUERY_LOG = None
+            rays_frame2 = sum(e["rays"] for e in qlog2) or rays_frame
             t0 = time.perf_counter()
             for f in range(1, n_frames + 1):
                 frame, st = step(sc, cam2, cfg, rng.make_frame_seed(0, f),
@@ -154,7 +160,8 @@ def main():
             float(jnp.sum(frame))
             dt2 = time.perf_counter() - t0
             extras.append(
-                f"{label} {rays_frame * n_frames / dt2 / 1e6:.1f}")
+                f"{label} {rays_frame2 * n_frames / dt2 / 1e6:.1f}"
+                f" (rpp {rays_frame2 / float(WIDTH * HEIGHT):.1f})")
         except Exception as e:  # noqa: BLE001 — secondary metric only
             extras.append(f"{label} failed:{type(e).__name__}")
 

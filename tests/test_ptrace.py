@@ -107,7 +107,10 @@ def test_ptrace_dead_rays_and_bounded_segments():
     ob = intersect.intersect_any(scene, o, d, tn, dist, _BRUTE)
     ov = intersect.intersect_any(scene, o, d, tn, dist, _PT)
     np.testing.assert_array_equal(np.asarray(ov), np.asarray(ob))
-    assert not np.asarray(ov)[np.asarray(tfm) < 0].any() or True
+    # any-hit with dead segments (tfar < tnear): dead rays must report
+    # visible (False) — run the query with the dead-ray tfar itself
+    ovm = intersect.intersect_any(scene, o, d, tn, tfm, _PT)
+    assert not np.asarray(ovm)[np.asarray(tfm) < np.asarray(tn)].any()
 
 
 def test_ptrace_detached_winner_grad_matches_brute():
@@ -137,6 +140,32 @@ def test_ptrace_detached_winner_grad_matches_brute():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(gd_p), np.asarray(gd_b),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_ptrace_supercluster_factor_matches_flat():
+    """factor > 1 (supercluster shortlists — the SMEM-bounded large-scene
+    scheme) must reproduce the flat factor=1 results exactly: the
+    expansion tests the same clusters, only grouped differently in
+    phase 1."""
+    scene = terrain_scene(20_000)
+    rng = np.random.default_rng(35)
+    o, d, tn, tf = _rays(rng, 768, 5.0)
+    args = (scene.cluster_tris, scene.cluster_min, scene.cluster_max,
+            o, d, tn, tf)
+    t1, u1, v1, tri1 = ct.trace_closest(*args, factor=1)
+    t4, u4, v4, tri4 = ct.trace_closest(*args, factor=4)
+    np.testing.assert_array_equal(np.asarray(tri4), np.asarray(tri1))
+    np.testing.assert_array_equal(np.asarray(t4), np.asarray(t1))
+    tfs = jnp.full((768,), 3.0, jnp.float32)
+    a1 = ct.trace_any(scene.cluster_tris, scene.cluster_min,
+                      scene.cluster_max, o, d, tn, tfs, factor=1)
+    a4 = ct.trace_any(scene.cluster_tris, scene.cluster_min,
+                      scene.cluster_max, o, d, tn, tfs, factor=4)
+    np.testing.assert_array_equal(np.asarray(a4), np.asarray(a1))
+    # and against brute, via the full backend path
+    hb = intersect.intersect_closest(scene, o, d, tn, tf, _BRUTE)
+    hit4 = np.asarray(tri4) >= 0
+    np.testing.assert_array_equal(hit4, np.asarray(hb.hit))
 
 
 def test_ptrace_mxu_variant_matches_brute():

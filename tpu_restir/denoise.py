@@ -102,7 +102,10 @@ def svgf_denoise(color, albedo, normal, depth, variance, exclude=None, *,
 
     c = color * sc[..., None]
     sw = sc
-    var = jnp.maximum(variance, 0.0) * sc ** 4
+    # Var(sc * L) = sc^2 Var(L): luminance variance transforms with the
+    # square of the compression scale (an extra sc^2 over-shrank sigma_l
+    # at bright pixels — exactly where fireflies need smoothing)
+    var = jnp.maximum(variance, 0.0) * sc ** 2
     for it in range(iters):
         s = 1 << it
         # 3x3 prefilter of the variance -> stable sigma for w_l

@@ -50,9 +50,27 @@ P = 256  # rays per packet == one 8x32 pixel tile
 G = 8    # packets per grid step (amortizes per-step overhead; also the
          # minimum SMEM block sublane count the TPU lowering accepts)
 
+# Maximum shortlist width S: phase-1 shortlists and entry distances live
+# in SMEM as (G, S) blocks, so S must be bounded regardless of scene
+# size. Scenes with more than SUPER_MAX clusters group F = ceil(C /
+# SUPER_MAX) consecutive leaf-order clusters into one SUPERCLUSTER (a
+# contiguous triangle range, so its AABB is tight); phase 1 culls and
+# orders superclusters, and the kernel expands each shortlist entry into
+# its F cluster blocks. At F = 1 (every scene up to ~131k tris at B=64)
+# this is bit-identical to the flat scheme. SMEM at S=2048:
+# 2 x (8, 2048) x 4 B + (2048, 8) x 4 B boxes = 196 KB.
+SUPER_MAX = 2048
+
 # Test hook: run the Mosaic kernels in the Pallas interpreter (CPU) so the
 # suite can check them against the XLA backends without TPU hardware.
 INTERPRET = False
+
+# Per-ray cull mode (perf A/B, read at trace time):
+#  -1 = round-4 behavior: one fused MT over the whole round tile, no cull
+#   0 = no per-ray cull (per-h split only)
+#   1 = slab cull with upper = tfar (no best_t dependency)
+#   2 = slab cull tightened by the running best_t (closest-hit only)
+SKIP_MODE = 2
 
 
 # ---------------------------------------------------------------------------
@@ -188,23 +206,88 @@ def _pair(block: int) -> int:
     return max(1, TILE_ROWS // block)
 
 
-def _closest_kernel(cnt_ref, sl_ref, ent_ref, rays_ref, ctris, out_ref,
-                    buf, sem, *, block, n_clusters, pair):
+def _ray_inv(dx, dy, dz):
+    """Safe per-ray reciprocal directions for the slab test: near-zero
+    components clamp to +/-1e20 with the component's sign (same policy as
+    accel.fcluster._clamp_tfar_bbox) so 0-component axes resolve to
+    unconstrained [-big, big] intervals instead of NaNs."""
+    def inv(c):
+        ok = jnp.abs(c) > 1e-20
+        return jnp.where(ok, 1.0 / jnp.where(ok, c, 1.0),
+                         jnp.where(c >= 0.0, 1e20, -1e20))
+    return inv(dx), inv(dy), inv(dz)
+
+
+def _slab_entry_exit(box_ref, q, ox, oy, oz, ix, iy, iz, tn):
+    """Per-ray slab test of (super)cluster AABB row q of the packed
+    (S, 8) SMEM box table against the packet's (1, P) ray channels.
+    Returns (tent, texit) per ray, with tent clamped to >= tnear."""
+    t1x = (box_ref[q, 0] - ox) * ix
+    t2x = (box_ref[q, 3] - ox) * ix
+    t1y = (box_ref[q, 1] - oy) * iy
+    t2y = (box_ref[q, 4] - oy) * iy
+    t1z = (box_ref[q, 2] - oz) * iz
+    t2z = (box_ref[q, 5] - oz) * iz
+    tent = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.maximum(jnp.minimum(t1z, t2z), tn))
+    texit = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z))
+    return tent, texit
+
+
+def _slab_live(tent, texit, upper):
+    """Conservative per-ray liveness: the ray's slab interval must be
+    nonempty and start before `upper` (per-ray best-so-far / tfar).
+    Relative + absolute slack so f32 rounding can't cull a true graze."""
+    slack = 1e-4 * (jnp.abs(tent) + jnp.abs(texit)) + 1e-5
+    return (tent <= texit + slack) & (tent - slack <= upper)
+
+
+def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
+                    out_ref, buf, sem, *, block, n_clusters, n_super,
+                    factor, pair):
+    """Per-packet front-to-back traversal, closest hit.
+
+    Shortlist entries are SUPERCLUSTERS (F = factor consecutive
+    leaf-order clusters); slot s of the expanded cluster sequence maps to
+    shortlist position s // F, cluster sl[s//F]*F + s%F. Before each
+    cluster's fused-MT tile the packet runs a per-ray slab test against
+    the supercluster AABB (SMEM box table) combined with the per-ray
+    upper bound min(best_t, tfar): clusters no live ray can improve in
+    are skipped entirely (compute only — the DMA schedule is unchanged;
+    the kernel is compute-bound so skipped rounds cost ~the DMA wait).
+    This is the TPU analog of Embree's per-ray BVH descent tightness on
+    top of the packet-granular phase-1 cull."""
     c_last = n_clusters - 1
+    s_last = n_super - 1
 
     def packet(g, _):
         n = cnt_ref[g, 0]
         ox, oy, oz, dx, dy, dz, tn, tf = _ray_channels(rays_ref, g)
-        nr = (n + pair - 1) // pair  # rounds of `pair` clusters
+        ix, iy, iz = _ray_inv(dx, dy, dz)
+        ns = n * factor                   # expanded cluster slot count
+        nr = (ns + pair - 1) // pair      # rounds of `pair` clusters
 
-        def slh(jr, half):
-            return sl_ref[g, jnp.minimum(
-                jnp.minimum(pair * jr + half, n - 1), c_last)]
+        def slot_q(jr, half):
+            """Shortlist position for slot (jr, half), clamped valid."""
+            s = jnp.maximum(jnp.minimum(pair * jr + half, ns - 1), 0)
+            return jnp.minimum(s // factor, s_last) if factor > 1 \
+                else jnp.minimum(s, s_last)
+
+        def slot_cluster(jr, half):
+            if factor == 1:
+                return sl_ref[g, slot_q(jr, half)]
+            s = jnp.maximum(jnp.minimum(pair * jr + half, ns - 1), 0)
+            sc = sl_ref[g, slot_q(jr, half)]
+            return jnp.minimum(sc * factor + jax.lax.rem(s, factor),
+                               c_last)
 
         def dma(jr, half):
             slot = jax.lax.rem(jr, 2)
             return pltpu.make_async_copy(
-                ctris.at[slh(jr, half)],
+                ctris.at[slot_cluster(jr, half)],
                 buf.at[slot, pl.ds(half * block, block)],
                 sem.at[slot, half])
 
@@ -224,7 +307,7 @@ def _closest_kernel(cnt_ref, sl_ref, ent_ref, rays_ref, ctris, out_ref,
 
         def cond(carry):
             jr, maxt = carry
-            ent = ent_ref[g, jnp.minimum(pair * jr, c_last)]
+            ent = ent_ref[g, slot_q(jr, 0)]
             return (jr < nr) & (ent <= maxt)
 
         def body(carry):
@@ -238,32 +321,78 @@ def _closest_kernel(cnt_ref, sl_ref, ent_ref, rays_ref, ctris, out_ref,
 
             for h in range(pair):
                 dma(jr, h).wait()
-            tr = buf[slot]                            # (pair*block, 128)
-            t, u, v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz, tn, tf)
-            tt = jnp.where(ok, t, _INF)
-            tmin = jnp.min(tt, axis=0, keepdims=True)        # (1, P)
-            riota = jax.lax.broadcasted_iota(jnp.int32,
-                                             (pair * block, P), 0)
-            jwin = jnp.min(jnp.where(tt <= tmin, riota, _BIGI), axis=0,
-                           keepdims=True)
-            onehot = riota == jwin
-            mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=0, keepdims=True)
-            mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=0, keepdims=True)
-            mtri = jnp.zeros((1, P), jnp.int32)
+            if SKIP_MODE == -1:
+                # round-4 fused form: one MT over the whole round tile
+                tr = buf[slot]                        # (pair*block, 128)
+                t, u, v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
+                                          tn, tf)
+                tt = jnp.where(ok, t, _INF)
+                tmin = jnp.min(tt, axis=0, keepdims=True)        # (1, P)
+                riota = jax.lax.broadcasted_iota(jnp.int32,
+                                                 (pair * block, P), 0)
+                jwin = jnp.min(jnp.where(tt <= tmin, riota, _BIGI),
+                               axis=0, keepdims=True)
+                onehot = riota == jwin
+                mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=0,
+                             keepdims=True)
+                mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=0,
+                             keepdims=True)
+                mtri = jnp.zeros((1, P), jnp.int32)
+                for h in range(pair):
+                    in_h = (jwin >= h * block) & (jwin < (h + 1) * block)
+                    mtri = jnp.where(
+                        in_h, slot_cluster(jr, h) * block
+                        + jwin - h * block, mtri)
+                mtri = mtri.astype(jnp.float32)
+                bt = out_ref[g, 0:1, :]
+                better = tmin < bt
+                nt = jnp.where(better, tmin, bt)
+                out_ref[g, 0:1, :] = nt
+                out_ref[g, 1:2, :] = jnp.where(better, mu,
+                                               out_ref[g, 1:2, :])
+                out_ref[g, 2:3, :] = jnp.where(better, mv,
+                                               out_ref[g, 2:3, :])
+                out_ref[g, 3:4, :] = jnp.where(better, mtri,
+                                               out_ref[g, 3:4, :])
+                return jr + 1, jnp.max(jnp.minimum(nt, tf))
+            riota = jax.lax.broadcasted_iota(jnp.int32, (block, P), 0)
             for h in range(pair):
-                in_h = (jwin >= h * block) & (jwin < (h + 1) * block)
-                mtri = jnp.where(in_h,
-                                 slh(jr, h) * block + jwin - h * block,
-                                 mtri)
-            mtri = mtri.astype(jnp.float32)
-            bt = out_ref[g, 0:1, :]
-            better = tmin < bt
-            nt = jnp.where(better, tmin, bt)
-            out_ref[g, 0:1, :] = nt
-            out_ref[g, 1:2, :] = jnp.where(better, mu, out_ref[g, 1:2, :])
-            out_ref[g, 2:3, :] = jnp.where(better, mv, out_ref[g, 2:3, :])
-            out_ref[g, 3:4, :] = jnp.where(better, mtri,
-                                           out_ref[g, 3:4, :])
+                if SKIP_MODE == 0:
+                    run = jnp.bool_(True)
+                else:
+                    q = slot_q(jr, h)
+                    tent, texit = _slab_entry_exit(
+                        box_ref, sl_ref[g, q], ox, oy, oz, ix, iy, iz, tn)
+                    upper = tf if SKIP_MODE == 1 \
+                        else jnp.minimum(out_ref[g, 0:1, :], tf)
+                    run = jnp.any(_slab_live(tent, texit, upper))
+
+                @pl.when(run)
+                def _(h=h, slot=slot, jr=jr):
+                    tr = buf[slot, pl.ds(h * block, block)]  # (B, 128)
+                    t, u, v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
+                                              tn, tf)
+                    tt = jnp.where(ok, t, _INF)
+                    tmin = jnp.min(tt, axis=0, keepdims=True)    # (1, P)
+                    jwin = jnp.min(jnp.where(tt <= tmin, riota, _BIGI),
+                                   axis=0, keepdims=True)
+                    onehot = riota == jwin
+                    mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=0,
+                                 keepdims=True)
+                    mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=0,
+                                 keepdims=True)
+                    mtri = (slot_cluster(jr, h) * block
+                            + jwin).astype(jnp.float32)
+                    bt = out_ref[g, 0:1, :]
+                    better = tmin < bt
+                    out_ref[g, 0:1, :] = jnp.where(better, tmin, bt)
+                    out_ref[g, 1:2, :] = jnp.where(better, mu,
+                                                   out_ref[g, 1:2, :])
+                    out_ref[g, 2:3, :] = jnp.where(better, mv,
+                                                   out_ref[g, 2:3, :])
+                    out_ref[g, 3:4, :] = jnp.where(better, mtri,
+                                                   out_ref[g, 3:4, :])
+            nt = out_ref[g, 0:1, :]
             return jr + 1, jnp.max(jnp.minimum(nt, tf))
 
         jf, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), maxt0))
@@ -279,23 +408,36 @@ def _closest_kernel(cnt_ref, sl_ref, ent_ref, rays_ref, ctris, out_ref,
     jax.lax.fori_loop(0, G, packet, 0, unroll=False)
 
 
-def _any_kernel(cnt_ref, sl_ref, ent_ref, rays_ref, ctris, out_ref,
-                buf, sem, *, block, n_clusters, pair):
+def _any_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
+                out_ref, buf, sem, *, block, n_clusters, n_super, factor,
+                pair):
     c_last = n_clusters - 1
+    s_last = n_super - 1
 
     def packet(g, _):
         n = cnt_ref[g, 0]
         ox, oy, oz, dx, dy, dz, tn, tf = _ray_channels(rays_ref, g)
-        nr = (n + pair - 1) // pair
+        ix, iy, iz = _ray_inv(dx, dy, dz)
+        ns = n * factor
+        nr = (ns + pair - 1) // pair
 
-        def slh(jr, half):
-            return sl_ref[g, jnp.minimum(
-                jnp.minimum(pair * jr + half, n - 1), c_last)]
+        def slot_q(jr, half):
+            s = jnp.maximum(jnp.minimum(pair * jr + half, ns - 1), 0)
+            return jnp.minimum(s // factor, s_last) if factor > 1 \
+                else jnp.minimum(s, s_last)
+
+        def slot_cluster(jr, half):
+            if factor == 1:
+                return sl_ref[g, slot_q(jr, half)]
+            s = jnp.maximum(jnp.minimum(pair * jr + half, ns - 1), 0)
+            sc = sl_ref[g, slot_q(jr, half)]
+            return jnp.minimum(sc * factor + jax.lax.rem(s, factor),
+                               c_last)
 
         def dma(jr, half):
             slot = jax.lax.rem(jr, 2)
             return pltpu.make_async_copy(
-                ctris.at[slh(jr, half)],
+                ctris.at[slot_cluster(jr, half)],
                 buf.at[slot, pl.ds(half * block, block)],
                 sem.at[slot, half])
 
@@ -324,13 +466,37 @@ def _any_kernel(cnt_ref, sl_ref, ent_ref, rays_ref, ctris, out_ref,
 
             for h in range(pair):
                 dma(jr, h).wait()
-            tr = buf[slot]
-            _t, _u, _v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
-                                         tn, tf)
-            occ = jnp.maximum(out_ref[pl.ds(g, 1), :],
-                              jnp.max(ok.astype(jnp.float32), axis=0,
-                                      keepdims=True))
-            out_ref[pl.ds(g, 1), :] = occ
+            if SKIP_MODE == -1:
+                tr = buf[slot]
+                _t, _u, _v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
+                                             tn, tf)
+                occ = jnp.maximum(out_ref[pl.ds(g, 1), :],
+                                  jnp.max(ok.astype(jnp.float32), axis=0,
+                                          keepdims=True))
+                out_ref[pl.ds(g, 1), :] = occ
+                return jr + 1, jnp.min(jnp.maximum(occ, deadf))
+            for h in range(pair):
+                if SKIP_MODE == 0:
+                    run = jnp.bool_(True)
+                else:
+                    q = slot_q(jr, h)
+                    tent, texit = _slab_entry_exit(
+                        box_ref, sl_ref[g, q], ox, oy, oz, ix, iy, iz, tn)
+                    live = _slab_live(tent, texit, tf)
+                    if SKIP_MODE == 2:
+                        live &= out_ref[pl.ds(g, 1), :] < 0.5
+                    run = jnp.any(live)
+
+                @pl.when(run)
+                def _(h=h, slot=slot):
+                    tr = buf[slot, pl.ds(h * block, block)]
+                    _t, _u, _v, ok = _mt_cluster(tr, ox, oy, oz,
+                                                 dx, dy, dz, tn, tf)
+                    out_ref[pl.ds(g, 1), :] = jnp.maximum(
+                        out_ref[pl.ds(g, 1), :],
+                        jnp.max(ok.astype(jnp.float32), axis=0,
+                                keepdims=True))
+            occ = out_ref[pl.ds(g, 1), :]
             return jr + 1, jnp.min(jnp.maximum(occ, deadf))
 
         jf, _ = jax.lax.while_loop(cond, body,
@@ -555,14 +721,16 @@ def _any_kernel_mxu(cnt_ref, sl_ref, ent_ref, o4_ref, d4_ref, tt_ref,
 # Wrappers: pad rays, run phase 1, launch the kernel
 # ---------------------------------------------------------------------------
 
-def _pack(o, d, tnear, tfar, cmin, cmax):
+def _pack(o, d, tnear, tfar, scmin, scmax):
     """Clamp tfar to the scene bbox, pad to a grid-step multiple, build
-    the (Rp, 8, P) channel blocks + phase-1 shortlists."""
+    the (Rp, 8, P) channel blocks + phase-1 shortlists (against the
+    supercluster AABBs scmin/scmax) + the packed (S, 8) SMEM box table
+    for the in-kernel per-ray slab test."""
     from tpu_restir.accel.fcluster import _clamp_tfar_bbox
 
     r = o.shape[0]
-    lo = jnp.min(cmin, axis=0)
-    hi = jnp.max(cmax, axis=0)
+    lo = jnp.min(scmin, axis=0)
+    hi = jnp.max(scmax, axis=0)
     tnear = jnp.broadcast_to(tnear, (r,))
     tfar = _clamp_tfar_bbox(o, d, tnear, jnp.broadcast_to(tfar, (r,)),
                             lo, hi)
@@ -573,11 +741,14 @@ def _pack(o, d, tnear, tfar, cmin, cmax):
         tnear = jnp.concatenate([tnear, jnp.zeros((pad,), tnear.dtype)])
         tfar = jnp.concatenate([tfar, jnp.full((pad,), -1.0, tfar.dtype)])
     rp = (r + pad) // P
-    cnt, sl, ent = build_shortlists(o, d, tnear, tfar, cmin, cmax, P)
+    cnt, sl, ent = build_shortlists(o, d, tnear, tfar, scmin, scmax, P)
+    boxes = jnp.concatenate(
+        [scmin, scmax, jnp.zeros((scmin.shape[0], 2), jnp.float32)],
+        axis=1)                                               # (S, 8)
     rays = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
                       d[:, 2], tnear, tfar], axis=0)          # (8, R)
     rays = jnp.swapaxes(rays.reshape(8, rp, P), 0, 1)         # (Rp, 8, P)
-    return rays, cnt.reshape(rp, 1), sl, ent, rp, r
+    return rays, cnt.reshape(rp, 1), sl, ent, boxes, rp, r
 
 
 def _pack_mxu(o, d, tnear, tfar, cmin, cmax):
@@ -667,29 +838,53 @@ def _trace_any_mxu(cwoop, cmin, cmax, o, d, tnear, tfar, block):
     return out.reshape(-1)[:r] > 0.5
 
 
-def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None):
+def _super_boxes(cmin, cmax, factor: int):
+    """Reduce cluster AABBs to supercluster AABBs over groups of
+    `factor` consecutive leaf-order clusters (the last group pads by
+    repeating the final cluster's box — result-neutral)."""
+    if factor == 1:
+        return cmin, cmax
+    c = cmin.shape[0]
+    s = -(-c // factor)
+    pad = s * factor - c
+    if pad:
+        cmin = jnp.concatenate([cmin, jnp.repeat(cmin[-1:], pad, axis=0)])
+        cmax = jnp.concatenate([cmax, jnp.repeat(cmax[-1:], pad, axis=0)])
+    return (jnp.min(cmin.reshape(s, factor, 3), axis=1),
+            jnp.max(cmax.reshape(s, factor, 3), axis=1))
+
+
+def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
+                  factor: int = 1):
     """Closest hit over flat rays (R, 3) -> (t, u, v, tri) with t=inf /
     tri=-1 on miss. ctris: (C, B, 128) cluster channel blocks (lanes 0-8 =
     v0/e1/e2 xyz; padding triangles have zero edges => det==0 => never
     hit). Triangle ids are cluster*B + row (global leaf-order ids).
+    factor > 1 groups consecutive clusters into superclusters for the
+    phase-1 shortlists (SMEM-bounded at any scene size; see SUPER_MAX).
     With cwoop (C, 8, 384) the MXU Woop kernel runs instead of the fused
     MT kernel (watertight-epsilon hit test, kernels/woop.py semantics)."""
     c, block, _ = ctris.shape
-    if cwoop is not None and block == _WCOMP:
+    if cwoop is not None and block == _WCOMP and factor == 1:
         return _trace_closest_mxu(cwoop, cmin, cmax, o, d, tnear, tfar,
                                   block)
-    rays, cnt, sl, ent, rp, r = _pack(o, d, tnear, tfar, cmin, cmax)
+    scmin, scmax = _super_boxes(cmin, cmax, factor)
+    s = scmin.shape[0]
+    rays, cnt, sl, ent, boxes, rp, r = _pack(o, d, tnear, tfar,
+                                             scmin, scmax)
     out = pl.pallas_call(
         functools.partial(_closest_kernel, block=block, n_clusters=c,
-                          pair=_pair(block)),
+                          n_super=s, factor=factor, pair=_pair(block)),
         interpret=INTERPRET,
         grid=(rp // G,),
         in_specs=[
             pl.BlockSpec((G, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, c), lambda i: (i, 0),
+            pl.BlockSpec((G, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, c), lambda i: (i, 0),
+            pl.BlockSpec((G, s), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((s, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -702,28 +897,34 @@ def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None):
             pltpu.VMEM((2, _pair(block) * block, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _pair(block))),
         ],
-    )(cnt, sl, ent, rays, ctris)
+    )(cnt, sl, ent, boxes, rays, ctris)
     flat = jnp.swapaxes(out, 0, 1).reshape(4, rp * P)[:, :r]
     return flat[0], flat[1], flat[2], flat[3].astype(jnp.int32)
 
 
-def trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None):
+def trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
+              factor: int = 1):
     """Any-hit (occlusion) over flat rays (R, 3) -> (R,) bool."""
     c, block, _ = ctris.shape
-    if cwoop is not None and block == _WCOMP:
+    if cwoop is not None and block == _WCOMP and factor == 1:
         return _trace_any_mxu(cwoop, cmin, cmax, o, d, tnear, tfar, block)
-    rays, cnt, sl, ent, rp, r = _pack(o, d, tnear, tfar, cmin, cmax)
+    scmin, scmax = _super_boxes(cmin, cmax, factor)
+    s = scmin.shape[0]
+    rays, cnt, sl, ent, boxes, rp, r = _pack(o, d, tnear, tfar,
+                                             scmin, scmax)
     out = pl.pallas_call(
         functools.partial(_any_kernel, block=block, n_clusters=c,
-                          pair=_pair(block)),
+                          n_super=s, factor=factor, pair=_pair(block)),
         interpret=INTERPRET,
         grid=(rp // G,),
         in_specs=[
             pl.BlockSpec((G, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, c), lambda i: (i, 0),
+            pl.BlockSpec((G, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, c), lambda i: (i, 0),
+            pl.BlockSpec((G, s), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((s, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -736,7 +937,7 @@ def trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None):
             pltpu.VMEM((2, _pair(block) * block, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _pair(block))),
         ],
-    )(cnt, sl, ent, rays, ctris)
+    )(cnt, sl, ent, boxes, rays, ctris)
     return out.reshape(-1)[:r] > 0.5
 
 
@@ -782,6 +983,12 @@ def build_cluster_tris(v: np.ndarray, block: int) -> np.ndarray:
     out[:n, 3:6] = v[:, 1] - v[:, 0]
     out[:n, 6:9] = v[:, 2] - v[:, 0]
     return out.reshape(c, block, 128)
+
+
+def pick_factor(n_clusters: int) -> int:
+    """Supercluster grouping factor for a given cluster count: smallest
+    F with ceil(C / F) <= SUPER_MAX (F = 1 up to ~131k tris at B=64)."""
+    return -(-n_clusters // SUPER_MAX)
 
 
 def supports(scene) -> bool:

@@ -450,16 +450,18 @@ _fc_any_core.defvjp(_fc_any_fwd, _fc_any_bwd)
 # data).
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
-def _pt_closest_core(ctris, cwoop, cmin, cmax, woop, o, d, tnear, tfar):
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pt_closest_core(factor, ctris, cwoop, cmin, cmax, woop, o, d,
+                     tnear, tfar):
     from tpu_restir.kernels.cluster_trace import trace_closest
 
     return trace_closest(ctris, cmin, cmax, o, d, tnear, tfar,
-                         cwoop=cwoop)
+                         cwoop=cwoop, factor=factor)
 
 
-def _pt_closest_fwd(ctris, cwoop, cmin, cmax, woop, o, d, tnear, tfar):
-    out = _pt_closest_core(ctris, cwoop, cmin, cmax, woop, o, d,
+def _pt_closest_fwd(factor, ctris, cwoop, cmin, cmax, woop, o, d,
+                    tnear, tfar):
+    out = _pt_closest_core(factor, ctris, cwoop, cmin, cmax, woop, o, d,
                            tnear, tfar)
     t, _u, _v, tri = out
     return out, (ctris.shape,
@@ -468,7 +470,7 @@ def _pt_closest_fwd(ctris, cwoop, cmin, cmax, woop, o, d, tnear, tfar):
                  jnp.shape(tnear), jnp.shape(tfar))
 
 
-def _pt_closest_bwd(res, g):
+def _pt_closest_bwd(factor, res, g):
     cts, cws, cns, cxs, woop, d, t, tri, tns, tfs = res
     go, gd = _detached_woop_bwd(woop.reshape(woop.shape[0], 12), d, t,
                                 tri, g)
@@ -480,20 +482,22 @@ def _pt_closest_bwd(res, g):
 _pt_closest_core.defvjp(_pt_closest_fwd, _pt_closest_bwd)
 
 
-@jax.custom_vjp
-def _pt_any_core(ctris, cwoop, cmin, cmax, o, d, tnear, tfar):
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pt_any_core(factor, ctris, cwoop, cmin, cmax, o, d, tnear, tfar):
     from tpu_restir.kernels.cluster_trace import trace_any
 
-    return trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=cwoop)
+    return trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=cwoop,
+                     factor=factor)
 
 
-def _pt_any_fwd(ctris, cwoop, cmin, cmax, o, d, tnear, tfar):
-    out = _pt_any_core(ctris, cwoop, cmin, cmax, o, d, tnear, tfar)
+def _pt_any_fwd(factor, ctris, cwoop, cmin, cmax, o, d, tnear, tfar):
+    out = _pt_any_core(factor, ctris, cwoop, cmin, cmax, o, d,
+                       tnear, tfar)
     return out, jax.tree.map(jnp.shape, (ctris, cwoop, cmin, cmax, o, d,
                                          tnear, tfar))
 
 
-def _pt_any_bwd(res, _g):
+def _pt_any_bwd(factor, res, _g):
     # boolean visibility is detached (the estimator treats V as data)
     return tuple(None if s is None else jnp.zeros(s) for s in res)
 
@@ -501,17 +505,24 @@ def _pt_any_bwd(res, _g):
 _pt_any_core.defvjp(_pt_any_fwd, _pt_any_bwd)
 
 
+def _pt_factor(scene) -> int:
+    from tpu_restir.kernels.cluster_trace import pick_factor
+
+    return pick_factor(scene.cluster_tris.shape[0])
+
+
 def _closest_chunk_ptrace(o, d, tnear, tfar, scene, use_mxu=True):
     cwoop = scene.cluster_woop if use_mxu else None
-    return _pt_closest_core(scene.cluster_tris, cwoop, scene.cluster_min,
-                            scene.cluster_max, scene.woop, o, d,
-                            tnear, tfar)
+    return _pt_closest_core(_pt_factor(scene), scene.cluster_tris, cwoop,
+                            scene.cluster_min, scene.cluster_max,
+                            scene.woop, o, d, tnear, tfar)
 
 
 def _any_chunk_ptrace(o, d, tnear, tfar, scene, use_mxu=True):
     cwoop = scene.cluster_woop if use_mxu else None
-    return _pt_any_core(scene.cluster_tris, cwoop, scene.cluster_min,
-                        scene.cluster_max, o, d, tnear, tfar)
+    return _pt_any_core(_pt_factor(scene), scene.cluster_tris, cwoop,
+                        scene.cluster_min, scene.cluster_max, o, d,
+                        tnear, tfar)
 
 
 def _closest_chunk_fcluster(o, d, tnear, tfar, scene, p, k, bin_rays):
