@@ -72,20 +72,21 @@ def main():
     for f in range(2):
         fr, stn = stepn(scene_r, cam_r, rng.make_frame_seed(0, f), stn,
                         jnp.asarray(f))
-        # compare only this process's addressable shards
-        bad = 0.0
+        # compare only this process's addressable shards — EXACT: all
+        # sampling decisions are integer-exact across compilations
+        # (PCG4D keyed by global coords + table-based neighbor offsets,
+        # see tests/test_sharding.py)
         for sh in fr.addressable_shards:
             rows = sh.index[0]
             a = ref[f][rows]
             b = np.asarray(sh.data)
-            close = np.isclose(a, b, rtol=1e-5, atol=1e-6)
-            bad = max(bad, 1.0 - close.mean())
-        assert bad < 0.02, (f, bad)
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {f}")
 
     halo = halo_width(radius)
-    # reservoir+G-buffer reuse payload is 32 packed channels (packed.py);
+    # reservoir+G-buffer reuse payload: 32 packed f32 channels (24 for
+    # Lambert-only scenes like this one — packed.py slim layout);
     # each device exchanges `halo` rows with each neighbor, both ways
-    halo_bytes = 2 * 2 * halo * size * 32 * 4
+    halo_bytes = 2 * 2 * halo * size * 24 * 4
     print(f"MULTIHOST_OK pid={pid} procs={nproc} halo_rows={halo} "
           f"halo_bytes_per_frame_per_device={halo_bytes}")
 

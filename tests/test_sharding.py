@@ -105,12 +105,11 @@ def test_sharded_restir_bitwise_parity(mesh, radius):
 
     for f in range(3):
         a, b = frames1[f], frames_n[f]
-        close = np.isclose(a, b, rtol=1e-5, atol=1e-6)
-        # Identical PCG4D draws guarantee identical sampling decisions
-        # except where a 1-ULP transcendental difference between the two
-        # compilations flips trunc() at a neighbor-offset boundary and a
-        # different (equally valid) neighbor is resampled. Tolerate a tiny
-        # fraction of such pixels; the estimator is unchanged.
-        frac_bad = 1.0 - close.mean()
-        assert frac_bad < 0.02, (f, frac_bad)
-        assert abs(a.mean() - b.mean()) < 2e-3, (f, a.mean(), b.mean())
+        # EXACT equality: identical PCG4D draws + integer-exact neighbor
+        # offsets (sampling.disk_int_from_uniform: table lookup keyed by
+        # integer bits, no transcendental that could round differently
+        # between the two compilations) make every sampling decision
+        # bitwise identical; the remaining math is the same per-pixel
+        # program on both sides. Round 4 tolerated 2% of pixels drifting
+        # (float cos/sin -> trunc() flips); that source is gone.
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {f}")

@@ -81,18 +81,24 @@ def receipt(scene, o, d, tn, tf, label):
         tfp = tff.reshape(rp, P)
 
         def chunk(i, acc):
-            sel = jax.lax.dynamic_slice_in_dim(member, i * 256, 256, 0)
+            # dynamic_slice clamps the start index, so the LAST chunk
+            # re-reads a suffix window; mask duplicated packets so every
+            # packet is counted exactly once
+            start = jnp.minimum(i * 256, rp - 256)
+            fresh = (start + jnp.arange(256) >= i * 256)[:, None]
+            sel = jax.lax.dynamic_slice_in_dim(member, start, 256, 0) \
+                & fresh
             alive = _per_ray_any_live(
-                jax.lax.dynamic_slice_in_dim(op, i * 256, 256, 0),
-                jax.lax.dynamic_slice_in_dim(dp, i * 256, 256, 0),
-                jax.lax.dynamic_slice_in_dim(tnp, i * 256, 256, 0),
-                jax.lax.dynamic_slice_in_dim(tfp, i * 256, 256, 0),
+                jax.lax.dynamic_slice_in_dim(op, start, 256, 0),
+                jax.lax.dynamic_slice_in_dim(dp, start, 256, 0),
+                jax.lax.dynamic_slice_in_dim(tnp, start, 256, 0),
+                jax.lax.dynamic_slice_in_dim(tfp, start, 256, 0),
                 scmin, scmax)
             pre = jnp.sum(sel.astype(jnp.int64))
             post = jnp.sum((sel & alive).astype(jnp.int64))
             return acc[0] + pre, acc[1] + post
 
-        n_chunks = rp // 256
+        n_chunks = -(-rp // 256)
         pre, post = jax.lax.fori_loop(
             0, n_chunks, chunk,
             (jnp.int64(0), jnp.int64(0)))

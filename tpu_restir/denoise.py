@@ -16,6 +16,7 @@ from functools import partial
 import jax
 import numpy as np
 import jax.numpy as jnp
+from flax import struct
 
 
 @partial(jax.jit, static_argnames=("radius",))
@@ -149,6 +150,104 @@ def svgf_denoise(color, albedo, normal, depth, variance, exclude=None, *,
         sw = jnp.where(keep, sw, sf)
         var = jnp.where(keep, var, vacc / jnp.maximum(wacc, 1e-8) ** 2)
     return c / jnp.maximum(sw, 1e-6)[..., None]
+
+
+class SvgfHistory(struct.PyTreeNode):
+    """Per-pixel temporal history for SVGF (Schied et al. 2017 §4.1):
+    exponentially-integrated color and luminance moments, plus the
+    geometry + camera snapshot needed to reproject and validate them
+    next frame. The reference reaches the same effect by running OIDN
+    on the progressive accumulator every frame
+    (pg/simpleguidx11.cpp:255-260); this history survives camera motion
+    (where the accumulator resets) via reprojection."""
+
+    color: jnp.ndarray    # (H, W, 3) integrated radiance
+    m1: jnp.ndarray       # (H, W) integrated luminance
+    m2: jnp.ndarray       # (H, W) integrated luminance^2
+    length: jnp.ndarray   # (H, W) history length (frames, clamped)
+    depth: jnp.ndarray    # (H, W) depth at integration time
+    normal: jnp.ndarray   # (H, W, 3)
+    view_mat: jnp.ndarray  # (4, 4) camera snapshot
+    focal: jnp.ndarray     # ()
+
+
+def empty_svgf_history(h: int, w: int) -> SvgfHistory:
+    return SvgfHistory(
+        color=jnp.zeros((h, w, 3)), m1=jnp.zeros((h, w)),
+        m2=jnp.zeros((h, w)), length=jnp.zeros((h, w)),
+        depth=jnp.zeros((h, w)), normal=jnp.zeros((h, w, 3)),
+        view_mat=jnp.eye(4), focal=jnp.zeros(()))
+
+
+@jax.jit
+def svgf_temporal_update(hist: SvgfHistory, frame, gb,
+                         alpha: float = 0.2, max_len: float = 32.0):
+    """One frame of SVGF temporal accumulation.
+
+    Reprojects the history into the current camera (backward: current
+    surface position through the PREVIOUS view matrix), validates taps
+    by depth ratio + normal similarity, neighborhood-clamps the
+    reprojected color against the current frame's 3x3 min/max
+    (anti-ghosting), then blends with alpha = max(1/(len+1), alpha) —
+    plain progressive averaging until the EMA weight takes over. Returns
+    (new_hist, integrated_color, temporal_variance) where the variance
+    is the moment estimate when >= 4 frames of history exist and the
+    3x3 spatial estimate otherwise (the SVGF first-frames rule).
+    """
+    from tpu_restir.render import camera as cam_mod
+
+    h, w = frame.shape[:2]
+    lum = _luminance(frame)
+
+    sx, sy, valid = cam_mod.project_to_screen(hist.view_mat, hist.focal,
+                                              w, h, gb.pos)
+    sx = jnp.clip(sx, 0, w - 1)
+    sy = jnp.clip(sy, 0, h - 1)
+    tap_color = hist.color[sy, sx]
+    tap_m1 = hist.m1[sy, sx]
+    tap_m2 = hist.m2[sy, sx]
+    tap_len = hist.length[sy, sx]
+    tap_depth = hist.depth[sy, sx]
+    tap_normal = hist.normal[sy, sx]
+
+    depth = gb.depth
+    ratio = jnp.minimum(depth, tap_depth) / jnp.maximum(
+        jnp.maximum(depth, tap_depth), 1e-20)
+    n_sim = jnp.sum(gb.normal * tap_normal, axis=-1)
+    accept = (valid & (tap_len > 0.0) & (depth > 0.0)
+              & (ratio >= 0.9) & (n_sim >= 0.9))
+
+    # neighborhood clamp: reprojected color may not leave the current
+    # frame's local 3x3 range (kills ghosting + stale fireflies)
+    cmin = frame
+    cmax = frame
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            q = jnp.roll(frame, (-dy, -dx), axis=(0, 1))
+            cmin = jnp.minimum(cmin, q)
+            cmax = jnp.maximum(cmax, q)
+    tap_color = jnp.clip(tap_color, cmin, cmax)
+    tap_lum = _luminance(tap_color)
+    # clamp moments consistently with the clamped mean
+    tap_m1 = jnp.clip(tap_m1, _luminance(cmin), _luminance(cmax))
+    tap_m2 = jnp.maximum(tap_m2, tap_m1 * tap_m1)
+    del tap_lum
+
+    new_len = jnp.where(accept, jnp.minimum(tap_len + 1.0, max_len), 1.0)
+    a = jnp.maximum(1.0 / new_len, alpha)
+    a = jnp.where(accept, a, 1.0)
+    color = tap_color + (frame - tap_color) * a[..., None]
+    m1 = tap_m1 + (lum - tap_m1) * a
+    m2 = tap_m2 + (lum * lum - tap_m2) * a
+
+    var_t = jnp.maximum(m2 - m1 * m1, 0.0)
+    var = jnp.where(new_len >= 4.0, var_t, spatial_variance(color))
+
+    new_hist = SvgfHistory(
+        color=color, m1=m1, m2=m2, length=new_len,
+        depth=depth, normal=gb.normal,
+        view_mat=gb.view_mat, focal=gb.focal)
+    return new_hist, color, var
 
 
 def spatial_variance(color):

@@ -70,7 +70,28 @@ INTERPRET = False
 #   0 = no per-ray cull (per-h split only)
 #   1 = slab cull with upper = tfar (no best_t dependency)
 #   2 = slab cull tightened by the running best_t (closest-hit only)
-SKIP_MODE = 2
+#   3 = round-granular cull: OR the pair live-masks, ONE scalar sync per
+#       round, skip the whole fused round when no ray lives
+#   5 = mode-4 culls whose bitmask is computed one round AHEAD and
+#       carried as a scalar: dead slots skip their DMA too, and the
+#       reduction latency overlaps live MT work
+# SKIP_MODE = None uses the per-kernel defaults below (terrain100k
+# amortized A/B, docs/PERF_NOTES.md): closest-hit culls only ~9% of
+# listed clusters (the watermark already exploits front-to-back order),
+# so any cull mode LOSES to the plain split there; any-hit culls ~67%
+# (shadow packets union divergent per-pixel light targets) and mode 5
+# converts that into 50.0 -> 36.9 ms. Setting an int forces both.
+SKIP_MODE = None
+SKIP_CLOSEST = 0
+SKIP_ANY = 5
+
+# Scenes at or below this cluster count run without per-ray culls:
+# their packets traverse only 1-5 rounds, where the cull's extra
+# vector->scalar syncs cost more than the rounds they save. The
+# early-outs STAY on even for tiny scenes — measured on lights1k
+# (C=17): disabling the all-occluded exit dropped the frame 117 -> 71
+# Mrays/s (most shadow rays occlude in round 1 in a closed scene).
+SMALL_C = 64
 
 
 # ---------------------------------------------------------------------------
@@ -127,6 +148,16 @@ def _interval_pass_entry(omin, omax, dmin, dmax, tnmin, tfmax, cmin, cmax):
     return passes, entry_lo
 
 
+# Sub-packet refinement (measured DEAD END, kept off): slab-testing each
+# 32-ray subgroup hull against the boxes culls almost nothing beyond the
+# packet hull (terrain100k receipt: shadow 689 -> ~664 pairs/ray, primary
+# ~0) — the spread that fattens a shadow packet's hull is per-PIXEL light
+# targets, which one pixel row shares. Only exact per-ray tests help
+# (689 -> 230); those run in the kernel (SKIP_MODE).
+SUBGROUP_REFINE = False
+SUBP = 32
+
+
 def build_shortlists(o, d, tnear, tfar, cmin, cmax, p: int = P):
     """Rays (R, 3) -> per-packet front-to-back cluster shortlists.
 
@@ -147,6 +178,11 @@ def build_shortlists(o, d, tnear, tfar, cmin, cmax, p: int = P):
                 & (emax[:, None, :, :] >= cmin[None, :, None, :]),
                 axis=-1), axis=-1)
     passes &= box_ok | ~bounded[:, None]
+    if SUBGROUP_REFINE and p % SUBP == 0 and p > SUBP:
+        from tpu_restir.accel.fcluster import _prep
+        sub_pass, _rank, _n = _prep(o, d, tnear, tfar, cmin, cmax, SUBP)
+        rp = passes.shape[0]
+        passes &= jnp.any(sub_pass.reshape(rp, p // SUBP, -1), axis=1)
     key = jnp.where(passes, jnp.maximum(entry, tn[:, None]), _INF)
     rp, c = key.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (rp, c), 1)
@@ -219,15 +255,15 @@ def _ray_inv(dx, dy, dz):
 
 
 def _slab_entry_exit(box_ref, q, ox, oy, oz, ix, iy, iz, tn):
-    """Per-ray slab test of (super)cluster AABB row q of the packed
-    (S, 8) SMEM box table against the packet's (1, P) ray channels.
+    """Per-ray slab test of (super)cluster AABB column q of the packed
+    (8, S) SMEM box table against the packet's (1, P) ray channels.
     Returns (tent, texit) per ray, with tent clamped to >= tnear."""
-    t1x = (box_ref[q, 0] - ox) * ix
-    t2x = (box_ref[q, 3] - ox) * ix
-    t1y = (box_ref[q, 1] - oy) * iy
-    t2y = (box_ref[q, 4] - oy) * iy
-    t1z = (box_ref[q, 2] - oz) * iz
-    t2z = (box_ref[q, 5] - oz) * iz
+    t1x = (box_ref[0, q] - ox) * ix
+    t2x = (box_ref[3, q] - ox) * ix
+    t1y = (box_ref[1, q] - oy) * iy
+    t2y = (box_ref[4, q] - oy) * iy
+    t1z = (box_ref[2, q] - oz) * iz
+    t2z = (box_ref[5, q] - oz) * iz
     tent = jnp.maximum(
         jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
         jnp.maximum(jnp.minimum(t1z, t2z), tn))
@@ -247,26 +283,32 @@ def _slab_live(tent, texit, upper):
 
 def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                     out_ref, buf, sem, *, block, n_clusters, n_super,
-                    factor, pair):
+                    factor, pair, skip, early_out):
     """Per-packet front-to-back traversal, closest hit.
 
     Shortlist entries are SUPERCLUSTERS (F = factor consecutive
     leaf-order clusters); slot s of the expanded cluster sequence maps to
-    shortlist position s // F, cluster sl[s//F]*F + s%F. Before each
-    cluster's fused-MT tile the packet runs a per-ray slab test against
-    the supercluster AABB (SMEM box table) combined with the per-ray
-    upper bound min(best_t, tfar): clusters no live ray can improve in
-    are skipped entirely (compute only — the DMA schedule is unchanged;
-    the kernel is compute-bound so skipped rounds cost ~the DMA wait).
-    This is the TPU analog of Embree's per-ray BVH descent tightness on
-    top of the packet-granular phase-1 cull."""
+    shortlist position s // F, cluster sl[s//F]*F + s%F.
+
+    Per-ray culling (`skip`, see SKIP_MODE): each cluster slot can be
+    slab-tested per ray against its supercluster AABB with the per-ray
+    upper bound min(best_t, tfar) and skipped when no ray lives. Mode 5
+    computes the next round's skip bitmask DURING the current round and
+    carries it as a scalar, so dead slots skip their DMA as well as
+    their compute — the vector->scalar reduction latency overlaps the
+    live rounds' MT work instead of serializing the loop. Culling is
+    conservative: upper bounds only shrink over rounds, so a slot dead
+    at decision time stays dead. This is the TPU analog of Embree's
+    per-ray BVH descent tightness on top of the packet-granular phase-1
+    cull (reference rtcIntersect1, pg/Intersection.h:8-41)."""
     c_last = n_clusters - 1
     s_last = n_super - 1
 
     def packet(g, _):
         n = cnt_ref[g, 0]
         ox, oy, oz, dx, dy, dz, tn, tf = _ray_channels(rays_ref, g)
-        ix, iy, iz = _ray_inv(dx, dy, dz)
+        if skip != 0:
+            ix, iy, iz = _ray_inv(dx, dy, dz)
         ns = n * factor                   # expanded cluster slot count
         nr = (ns + pair - 1) // pair      # rounds of `pair` clusters
 
@@ -291,28 +333,143 @@ def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                 buf.at[slot, pl.ds(half * block, block)],
                 sem.at[slot, half])
 
-        @pl.when(n > 0)
-        def _():
+        def slab_h(jr, h, upper):
+            q = slot_q(jr, h)
+            tent, texit = _slab_entry_exit(
+                box_ref, sl_ref[g, q], ox, oy, oz, ix, iy, iz, tn)
+            return _slab_live(tent, texit, upper)
+
+        def flags_for(jr):
+            """Scalar bitmask: which of round jr's slots any ray lives in."""
+            upper = jnp.minimum(out_ref[g, 0:1, :], tf)
+            fl = jnp.int32(0)
             for h in range(pair):
-                dma(0, h).start()
+                r = jnp.any(slab_h(jr, h, upper))
+                fl = fl | (r.astype(jnp.int32) << h)
+            return fl
 
         out_ref[g, 0:1, :] = jnp.full((1, P), _INF)
         out_ref[g, 1:2, :] = jnp.zeros((1, P), jnp.float32)
         out_ref[g, 2:3, :] = jnp.zeros((1, P), jnp.float32)
         out_ref[g, 3:4, :] = jnp.full((1, P), -1.0)
 
+        if skip == 5:
+            fl0 = flags_for(0)
+
+            @pl.when(n > 0)
+            def _():
+                for h in range(pair):
+                    @pl.when(((fl0 >> h) & 1) > 0)
+                    def _(h=h):
+                        dma(0, h).start()
+        else:
+            fl0 = jnp.int32(-1)
+
+            @pl.when(n > 0)
+            def _():
+                for h in range(pair):
+                    dma(0, h).start()
+
         # watermark: no ray can improve beyond min(best_t, its tfar), so
-        # the packet is done once the next front-to-back entry passes it
-        maxt0 = jnp.max(tf)
+        # the packet is done once the next front-to-back entry passes it.
+        # Small scenes (1-3 rounds/packet) disable it: the per-packet
+        # jnp.max and per-round watermark reductions are vector->scalar
+        # syncs that dominate the packet's cost there (lights1k floor).
+        maxt0 = jnp.max(tf) if early_out else jnp.float32(0.0)
 
         def cond(carry):
-            jr, maxt = carry
+            jr, maxt, _fl = carry
+            if not early_out:
+                return jr < nr
             ent = ent_ref[g, slot_q(jr, 0)]
             return (jr < nr) & (ent <= maxt)
 
+        def fused_round(jr, slot):
+            """One MT over the whole (pair*block, P) round tile."""
+            tr = buf[slot]
+            t, u, v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
+                                      tn, tf)
+            tt = jnp.where(ok, t, _INF)
+            tmin = jnp.min(tt, axis=0, keepdims=True)            # (1, P)
+            riota = jax.lax.broadcasted_iota(jnp.int32,
+                                             (pair * block, P), 0)
+            jwin = jnp.min(jnp.where(tt <= tmin, riota, _BIGI),
+                           axis=0, keepdims=True)
+            onehot = riota == jwin
+            mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=0,
+                         keepdims=True)
+            mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=0,
+                         keepdims=True)
+            mtri = jnp.zeros((1, P), jnp.int32)
+            for h in range(pair):
+                in_h = (jwin >= h * block) & (jwin < (h + 1) * block)
+                mtri = jnp.where(
+                    in_h, slot_cluster(jr, h) * block
+                    + jwin - h * block, mtri)
+            mtri = mtri.astype(jnp.float32)
+            bt = out_ref[g, 0:1, :]
+            better = tmin < bt
+            nt = jnp.where(better, tmin, bt)
+            out_ref[g, 0:1, :] = nt
+            out_ref[g, 1:2, :] = jnp.where(better, mu,
+                                           out_ref[g, 1:2, :])
+            out_ref[g, 2:3, :] = jnp.where(better, mv,
+                                           out_ref[g, 2:3, :])
+            out_ref[g, 3:4, :] = jnp.where(better, mtri,
+                                           out_ref[g, 3:4, :])
+
+        def mt_h(jr, h, slot):
+            """One cluster slot's (B, P) MT test + running-min fold."""
+            riota = jax.lax.broadcasted_iota(jnp.int32, (block, P), 0)
+            tr = buf[slot, pl.ds(h * block, block)]          # (B, 128)
+            t, u, v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
+                                      tn, tf)
+            tt = jnp.where(ok, t, _INF)
+            tmin = jnp.min(tt, axis=0, keepdims=True)            # (1, P)
+            jwin = jnp.min(jnp.where(tt <= tmin, riota, _BIGI),
+                           axis=0, keepdims=True)
+            onehot = riota == jwin
+            mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=0,
+                         keepdims=True)
+            mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=0,
+                         keepdims=True)
+            mtri = (slot_cluster(jr, h) * block
+                    + jwin).astype(jnp.float32)
+            bt = out_ref[g, 0:1, :]
+            better = tmin < bt
+            out_ref[g, 0:1, :] = jnp.where(better, tmin, bt)
+            out_ref[g, 1:2, :] = jnp.where(better, mu,
+                                           out_ref[g, 1:2, :])
+            out_ref[g, 2:3, :] = jnp.where(better, mv,
+                                           out_ref[g, 2:3, :])
+            out_ref[g, 3:4, :] = jnp.where(better, mtri,
+                                           out_ref[g, 3:4, :])
+
         def body(carry):
-            jr, _maxt = carry
+            jr, _maxt, fl = carry
             slot = jax.lax.rem(jr, 2)
+
+            if skip == 5:
+                fln = flags_for(jr + 1)
+
+                @pl.when(jr + 1 < nr)
+                def _():
+                    for h in range(pair):
+                        @pl.when(((fln >> h) & 1) > 0)
+                        def _(h=h):
+                            dma(jr + 1, h).start()
+
+                for h in range(pair):
+                    @pl.when(((fl >> h) & 1) > 0)
+                    def _(h=h, slot=slot, jr=jr):
+                        dma(jr, h).wait()
+                        mt_h(jr, h, slot)
+                if not early_out:
+                    return jr + 1, _maxt, fln
+                nt = out_ref[g, 0:1, :]
+                return jr + 1, jnp.max(jnp.minimum(nt, tf)), fln
+
+            fln = fl
 
             @pl.when(jr + 1 < nr)
             def _():
@@ -321,87 +478,53 @@ def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
 
             for h in range(pair):
                 dma(jr, h).wait()
-            if SKIP_MODE == -1:
-                # round-4 fused form: one MT over the whole round tile
-                tr = buf[slot]                        # (pair*block, 128)
-                t, u, v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
-                                          tn, tf)
-                tt = jnp.where(ok, t, _INF)
-                tmin = jnp.min(tt, axis=0, keepdims=True)        # (1, P)
-                riota = jax.lax.broadcasted_iota(jnp.int32,
-                                                 (pair * block, P), 0)
-                jwin = jnp.min(jnp.where(tt <= tmin, riota, _BIGI),
-                               axis=0, keepdims=True)
-                onehot = riota == jwin
-                mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=0,
-                             keepdims=True)
-                mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=0,
-                             keepdims=True)
-                mtri = jnp.zeros((1, P), jnp.int32)
+            if skip == -1:
+                fused_round(jr, slot)
+            elif skip == 3:
+                upper = jnp.minimum(out_ref[g, 0:1, :], tf)
+                live = slab_h(jr, 0, upper)
+                for h in range(1, pair):
+                    live = live | slab_h(jr, h, upper)
+
+                @pl.when(jnp.any(live))
+                def _(jr=jr, slot=slot):
+                    fused_round(jr, slot)
+            else:
+                if skip == 4:
+                    upper = jnp.minimum(out_ref[g, 0:1, :], tf)
+                    runs = [jnp.any(slab_h(jr, h, upper))
+                            for h in range(pair)]
                 for h in range(pair):
-                    in_h = (jwin >= h * block) & (jwin < (h + 1) * block)
-                    mtri = jnp.where(
-                        in_h, slot_cluster(jr, h) * block
-                        + jwin - h * block, mtri)
-                mtri = mtri.astype(jnp.float32)
-                bt = out_ref[g, 0:1, :]
-                better = tmin < bt
-                nt = jnp.where(better, tmin, bt)
-                out_ref[g, 0:1, :] = nt
-                out_ref[g, 1:2, :] = jnp.where(better, mu,
-                                               out_ref[g, 1:2, :])
-                out_ref[g, 2:3, :] = jnp.where(better, mv,
-                                               out_ref[g, 2:3, :])
-                out_ref[g, 3:4, :] = jnp.where(better, mtri,
-                                               out_ref[g, 3:4, :])
-                return jr + 1, jnp.max(jnp.minimum(nt, tf))
-            riota = jax.lax.broadcasted_iota(jnp.int32, (block, P), 0)
-            for h in range(pair):
-                if SKIP_MODE == 0:
-                    run = jnp.bool_(True)
-                else:
-                    q = slot_q(jr, h)
-                    tent, texit = _slab_entry_exit(
-                        box_ref, sl_ref[g, q], ox, oy, oz, ix, iy, iz, tn)
-                    upper = tf if SKIP_MODE == 1 \
-                        else jnp.minimum(out_ref[g, 0:1, :], tf)
-                    run = jnp.any(_slab_live(tent, texit, upper))
+                    if skip == 0:
+                        run = jnp.bool_(True)
+                    elif skip == 4:
+                        run = runs[h]
+                    else:
+                        upper = tf if skip == 1 \
+                            else jnp.minimum(out_ref[g, 0:1, :], tf)
+                        run = jnp.any(slab_h(jr, h, upper))
 
-                @pl.when(run)
-                def _(h=h, slot=slot, jr=jr):
-                    tr = buf[slot, pl.ds(h * block, block)]  # (B, 128)
-                    t, u, v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
-                                              tn, tf)
-                    tt = jnp.where(ok, t, _INF)
-                    tmin = jnp.min(tt, axis=0, keepdims=True)    # (1, P)
-                    jwin = jnp.min(jnp.where(tt <= tmin, riota, _BIGI),
-                                   axis=0, keepdims=True)
-                    onehot = riota == jwin
-                    mu = jnp.sum(jnp.where(onehot, u, 0.0), axis=0,
-                                 keepdims=True)
-                    mv = jnp.sum(jnp.where(onehot, v, 0.0), axis=0,
-                                 keepdims=True)
-                    mtri = (slot_cluster(jr, h) * block
-                            + jwin).astype(jnp.float32)
-                    bt = out_ref[g, 0:1, :]
-                    better = tmin < bt
-                    out_ref[g, 0:1, :] = jnp.where(better, tmin, bt)
-                    out_ref[g, 1:2, :] = jnp.where(better, mu,
-                                                   out_ref[g, 1:2, :])
-                    out_ref[g, 2:3, :] = jnp.where(better, mv,
-                                                   out_ref[g, 2:3, :])
-                    out_ref[g, 3:4, :] = jnp.where(better, mtri,
-                                                   out_ref[g, 3:4, :])
+                    @pl.when(run)
+                    def _(h=h, slot=slot, jr=jr):
+                        mt_h(jr, h, slot)
+            if not early_out:
+                return jr + 1, _maxt, fln
             nt = out_ref[g, 0:1, :]
-            return jr + 1, jnp.max(jnp.minimum(nt, tf))
+            return jr + 1, jnp.max(jnp.minimum(nt, tf)), fln
 
-        jf, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), maxt0))
+        jf, _, flf = jax.lax.while_loop(cond, body,
+                                        (jnp.int32(0), maxt0, fl0))
 
         # drain the prefetch issued for the round the early-out skipped
         @pl.when((n > 0) & (jf < nr))
         def _():
             for h in range(pair):
-                dma(jf, h).wait()
+                if skip == 5:
+                    @pl.when(((flf >> h) & 1) > 0)
+                    def _(h=h):
+                        dma(jf, h).wait()
+                else:
+                    dma(jf, h).wait()
 
         return 0
 
@@ -410,14 +533,15 @@ def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
 
 def _any_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                 out_ref, buf, sem, *, block, n_clusters, n_super, factor,
-                pair):
+                pair, skip, early_out):
     c_last = n_clusters - 1
     s_last = n_super - 1
 
     def packet(g, _):
         n = cnt_ref[g, 0]
         ox, oy, oz, dx, dy, dz, tn, tf = _ray_channels(rays_ref, g)
-        ix, iy, iz = _ray_inv(dx, dy, dz)
+        if skip != 0:
+            ix, iy, iz = _ray_inv(dx, dy, dz)
         ns = n * factor
         nr = (ns + pair - 1) // pair
 
@@ -441,23 +565,95 @@ def _any_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                 buf.at[slot, pl.ds(half * block, block)],
                 sem.at[slot, half])
 
-        @pl.when(n > 0)
-        def _():
+        def slab_h(jr, h):
+            q = slot_q(jr, h)
+            tent, texit = _slab_entry_exit(
+                box_ref, sl_ref[g, q], ox, oy, oz, ix, iy, iz, tn)
+            return _slab_live(tent, texit, tf)
+
+        def flags_for(jr):
+            notocc = out_ref[pl.ds(g, 1), :] < 0.5
+            fl = jnp.int32(0)
             for h in range(pair):
-                dma(0, h).start()
+                r = jnp.any(slab_h(jr, h) & notocc)
+                fl = fl | (r.astype(jnp.int32) << h)
+            return fl
 
         out_ref[pl.ds(g, 1), :] = jnp.zeros((1, P), jnp.float32)
+
+        if skip == 5:
+            fl0 = flags_for(0)
+
+            @pl.when(n > 0)
+            def _():
+                for h in range(pair):
+                    @pl.when(((fl0 >> h) & 1) > 0)
+                    def _(h=h):
+                        dma(0, h).start()
+        else:
+            fl0 = jnp.int32(-1)
+
+            @pl.when(n > 0)
+            def _():
+                for h in range(pair):
+                    dma(0, h).start()
+
         # dead rays (padding / degenerate shadow segments) count as done
-        # so they can't hold the early-out open; their output stays 0
-        deadf = (tf < tn).astype(jnp.float32)
+        # so they can't hold the early-out open; their output stays 0.
+        # Small scenes skip the all-occluded early-out entirely: its
+        # per-round jnp.min reduction is a vector->scalar sync that
+        # dominates 1-3-round packets (lights1k floor).
+        deadf = (tf < tn).astype(jnp.float32) if early_out else None
 
         def cond(carry):
-            jr, done = carry
+            jr, done, _fl = carry
+            if not early_out:
+                return jr < nr
             return (jr < nr) & (done < 0.5)
 
+        def fused_round(slot):
+            tr = buf[slot]
+            _t, _u, _v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
+                                         tn, tf)
+            out_ref[pl.ds(g, 1), :] = jnp.maximum(
+                out_ref[pl.ds(g, 1), :],
+                jnp.max(ok.astype(jnp.float32), axis=0,
+                        keepdims=True))
+
+        def mt_h(h, slot):
+            tr = buf[slot, pl.ds(h * block, block)]
+            _t, _u, _v, ok = _mt_cluster(tr, ox, oy, oz,
+                                         dx, dy, dz, tn, tf)
+            out_ref[pl.ds(g, 1), :] = jnp.maximum(
+                out_ref[pl.ds(g, 1), :],
+                jnp.max(ok.astype(jnp.float32), axis=0,
+                        keepdims=True))
+
         def body(carry):
-            jr, _done = carry
+            jr, _done, fl = carry
             slot = jax.lax.rem(jr, 2)
+
+            if skip == 5:
+                fln = flags_for(jr + 1)
+
+                @pl.when(jr + 1 < nr)
+                def _():
+                    for h in range(pair):
+                        @pl.when(((fln >> h) & 1) > 0)
+                        def _(h=h):
+                            dma(jr + 1, h).start()
+
+                for h in range(pair):
+                    @pl.when(((fl >> h) & 1) > 0)
+                    def _(h=h, slot=slot, jr=jr):
+                        dma(jr, h).wait()
+                        mt_h(h, slot)
+                if not early_out:
+                    return jr + 1, _done, fln
+                occ = out_ref[pl.ds(g, 1), :]
+                return jr + 1, jnp.min(jnp.maximum(occ, deadf)), fln
+
+            fln = fl
 
             @pl.when(jr + 1 < nr)
             def _():
@@ -466,46 +662,55 @@ def _any_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
 
             for h in range(pair):
                 dma(jr, h).wait()
-            if SKIP_MODE == -1:
-                tr = buf[slot]
-                _t, _u, _v, ok = _mt_cluster(tr, ox, oy, oz, dx, dy, dz,
-                                             tn, tf)
-                occ = jnp.maximum(out_ref[pl.ds(g, 1), :],
-                                  jnp.max(ok.astype(jnp.float32), axis=0,
-                                          keepdims=True))
-                out_ref[pl.ds(g, 1), :] = occ
-                return jr + 1, jnp.min(jnp.maximum(occ, deadf))
-            for h in range(pair):
-                if SKIP_MODE == 0:
-                    run = jnp.bool_(True)
-                else:
-                    q = slot_q(jr, h)
-                    tent, texit = _slab_entry_exit(
-                        box_ref, sl_ref[g, q], ox, oy, oz, ix, iy, iz, tn)
-                    live = _slab_live(tent, texit, tf)
-                    if SKIP_MODE == 2:
-                        live &= out_ref[pl.ds(g, 1), :] < 0.5
-                    run = jnp.any(live)
+            if skip == -1:
+                fused_round(slot)
+            elif skip == 3:
+                notocc = out_ref[pl.ds(g, 1), :] < 0.5
+                live = slab_h(jr, 0)
+                for h in range(1, pair):
+                    live = live | slab_h(jr, h)
+                live &= notocc
 
-                @pl.when(run)
-                def _(h=h, slot=slot):
-                    tr = buf[slot, pl.ds(h * block, block)]
-                    _t, _u, _v, ok = _mt_cluster(tr, ox, oy, oz,
-                                                 dx, dy, dz, tn, tf)
-                    out_ref[pl.ds(g, 1), :] = jnp.maximum(
-                        out_ref[pl.ds(g, 1), :],
-                        jnp.max(ok.astype(jnp.float32), axis=0,
-                                keepdims=True))
+                @pl.when(jnp.any(live))
+                def _(slot=slot):
+                    fused_round(slot)
+            else:
+                if skip == 4:
+                    notocc = out_ref[pl.ds(g, 1), :] < 0.5
+                    runs = [jnp.any(slab_h(jr, h) & notocc)
+                            for h in range(pair)]
+                for h in range(pair):
+                    if skip == 0:
+                        run = jnp.bool_(True)
+                    elif skip == 4:
+                        run = runs[h]
+                    else:
+                        live = slab_h(jr, h)
+                        if skip == 2:
+                            live &= out_ref[pl.ds(g, 1), :] < 0.5
+                        run = jnp.any(live)
+
+                    @pl.when(run)
+                    def _(h=h, slot=slot):
+                        mt_h(h, slot)
+            if not early_out:
+                return jr + 1, _done, fln
             occ = out_ref[pl.ds(g, 1), :]
-            return jr + 1, jnp.min(jnp.maximum(occ, deadf))
+            return jr + 1, jnp.min(jnp.maximum(occ, deadf)), fln
 
-        jf, _ = jax.lax.while_loop(cond, body,
-                                   (jnp.int32(0), jnp.min(deadf)))
+        done0 = jnp.min(deadf) if early_out else jnp.float32(0.0)
+        jf, _, flf = jax.lax.while_loop(cond, body,
+                                        (jnp.int32(0), done0, fl0))
 
         @pl.when((n > 0) & (jf < nr))
         def _():
             for h in range(pair):
-                dma(jf, h).wait()
+                if skip == 5:
+                    @pl.when(((flf >> h) & 1) > 0)
+                    def _(h=h):
+                        dma(jf, h).wait()
+                else:
+                    dma(jf, h).wait()
 
         return 0
 
@@ -742,9 +947,12 @@ def _pack(o, d, tnear, tfar, scmin, scmax):
         tfar = jnp.concatenate([tfar, jnp.full((pad,), -1.0, tfar.dtype)])
     rp = (r + pad) // P
     cnt, sl, ent = build_shortlists(o, d, tnear, tfar, scmin, scmax, P)
+    # (8, S) layout — SMEM pads each ROW's minor dim to 512 B, so the
+    # natural (S, 8) table would cost S x 512 B (~1 MB at S=2048, over
+    # the 1 MB SMEM budget); transposed it costs 8 x 4S B.
     boxes = jnp.concatenate(
-        [scmin, scmax, jnp.zeros((scmin.shape[0], 2), jnp.float32)],
-        axis=1)                                               # (S, 8)
+        [scmin.T, scmax.T, jnp.zeros((2, scmin.shape[0]), jnp.float32)],
+        axis=0)                                               # (8, S)
     rays = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
                       d[:, 2], tnear, tfar], axis=0)          # (8, R)
     rays = jnp.swapaxes(rays.reshape(8, rp, P), 0, 1)         # (Rp, 8, P)
@@ -854,6 +1062,14 @@ def _super_boxes(cmin, cmax, factor: int):
             jnp.max(cmax.reshape(s, factor, 3), axis=1))
 
 
+def _skip_for(kind: str, c: int) -> int:
+    if c <= SMALL_C:
+        return 0
+    if SKIP_MODE is not None:
+        return SKIP_MODE
+    return SKIP_CLOSEST if kind == 'closest' else SKIP_ANY
+
+
 def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
                   factor: int = 1):
     """Closest hit over flat rays (R, 3) -> (t, u, v, tri) with t=inf /
@@ -874,7 +1090,9 @@ def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
                                              scmin, scmax)
     out = pl.pallas_call(
         functools.partial(_closest_kernel, block=block, n_clusters=c,
-                          n_super=s, factor=factor, pair=_pair(block)),
+                          n_super=s, factor=factor, pair=_pair(block),
+                          skip=_skip_for('closest', c),
+                          early_out=True),
         interpret=INTERPRET,
         grid=(rp // G,),
         in_specs=[
@@ -884,7 +1102,7 @@ def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((s, 8), lambda i: (0, 0),
+            pl.BlockSpec((8, s), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -914,7 +1132,9 @@ def trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
                                              scmin, scmax)
     out = pl.pallas_call(
         functools.partial(_any_kernel, block=block, n_clusters=c,
-                          n_super=s, factor=factor, pair=_pair(block)),
+                          n_super=s, factor=factor, pair=_pair(block),
+                          skip=_skip_for('any', c),
+                          early_out=True),
         interpret=INTERPRET,
         grid=(rp // G,),
         in_specs=[
@@ -924,7 +1144,7 @@ def trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((s, 8), lambda i: (0, 0),
+            pl.BlockSpec((8, s), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

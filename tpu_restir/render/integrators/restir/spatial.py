@@ -30,7 +30,7 @@ from tpu_restir.render.integrators.restir import gbuffer as gb_mod
 from tpu_restir.render.integrators.restir import packed as pk
 from tpu_restir.render.integrators.restir import reservoir as rsv
 from tpu_restir.render.integrators.restir.phat import evaluate_p_hat
-from tpu_restir.render.sampling import disk_from_uniforms
+from tpu_restir.render.sampling import disk_int_from_uniform
 
 
 def spatial_pass(frame_seed, pass_idx: int, scene, gb: gb_mod.GBuffer,
@@ -52,13 +52,18 @@ def spatial_pass(frame_seed, pass_idx: int, scene, gb: gb_mod.GBuffer,
             rng.stream_id(rng.PASS_SPATIAL, pass_idx * 64 + draw, slot),
             ys, xs, n)
 
-    # neighbor coords: float disk offsets truncated to int (glm vec2->ivec2
-    # conversion), clamped to the screen (pg/ReSTIRIntegrator.cpp:334-341)
+    # neighbor coords: integer disk offsets distributed as the
+    # reference's trunc(float disk sample) (glm vec2->ivec2 conversion,
+    # pg/ReSTIRIntegrator.cpp:334-341), drawn via a static table so the
+    # pick is BITWISE identical in every compilation — the float
+    # cos/sin path could round differently between the sharded and
+    # unsharded programs and flip trunc() at a cell boundary, the one
+    # divergence source of round-4's 2%-tolerance sharding oracle
     cand_gy = [ys]
     cand_gx = [xs]
     for k in range(r.spatial_neighbor_count):
-        off = disk_from_uniforms(uni(k, 2, 2), r.spatial_reuse_radius)
-        offi = jnp.trunc(off).astype(jnp.int32)
+        offi = disk_int_from_uniform(uni(k, 2, 2)[..., 0],
+                                     r.spatial_reuse_radius)
         cand_gx.append(jnp.clip(xs + offi[..., 0], 0, w - 1))
         cand_gy.append(jnp.clip(ys + offi[..., 1], 0, h - 1))
 
@@ -71,7 +76,8 @@ def spatial_pass(frame_seed, pass_idx: int, scene, gb: gb_mod.GBuffer,
 
     from tpu_restir.kernels import local_gather as lg
 
-    payload = pk.pack_reuse(gb_ext, res_ext)          # (ext_h, w, 32)
+    slim = pk.reuse_slim(scene.materials)
+    payload = pk.pack_reuse(gb_ext, res_ext, slim)    # (ext_h, w, 32|24)
     tap_ys = jnp.stack([local_row(cand_gy[i], ext_row0, ext_h)
                         for i in range(1, n_cand)])
     tap_xs = jnp.stack(cand_gx[1:])
@@ -92,9 +98,10 @@ def spatial_pass(frame_seed, pass_idx: int, scene, gb: gb_mod.GBuffer,
                                                0.0)))
     else:
         taps = pk.gather_packed(payload, tap_ys, tap_xs)  # (K, h, w, 32)
-    gbs = [gb] + [pk.unpack_gb(taps[i - 1, ..., :pk.GB_CH], gb)
+    gbc = pk.gb_ch(slim)
+    gbs = [gb] + [pk.unpack_gb(taps[i - 1, ..., :gbc], gb, slim)
                   for i in range(1, n_cand)]
-    ress = [res_in] + [pk.unpack_res(taps[i - 1, ..., pk.GB_CH:])
+    ress = [res_in] + [pk.unpack_res(taps[i - 1, ..., gbc:], slim)
                        for i in range(1, n_cand)]
 
     # candidate validity (pg/ReSTIRIntegrator.cpp:344-374)

@@ -80,9 +80,10 @@ def temporal_pass(frame_seed, scene, gb: gb_mod.GBuffer,
     rel_b = valid_b & (gb.depth > 0.0)
     byc = jnp.where(rel_b, byc, local_row(ys, ext_row0, ext_h))
     bxc = jnp.where(rel_b, bxc, xs)
+    slim = pk.reuse_slim(scene.materials)
     prev_elem = pk.unpack_gb(
-        _reproject_tap(pk.pack_gb(gb_prev_ext), byc, bxc, ys, xs),
-        gb_prev_ext)
+        _reproject_tap(pk.pack_gb(gb_prev_ext, slim), byc, bxc, ys, xs),
+        gb_prev_ext, slim)
 
     cur_depth = mathx.length(gb.pos - gb.cam_pos)
     prev_depth = mathx.length(prev_elem.pos - gb_prev.cam_pos)

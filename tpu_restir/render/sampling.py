@@ -8,8 +8,11 @@ sample for every pixel/ray at once.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_restir import mathx
 from tpu_restir.config import PixelSamplerKind
@@ -60,6 +63,56 @@ def disk_from_uniforms(u, radius: float):
 
 def sample_disk_uniform(key: jax.Array, radius: float, shape):
     return disk_from_uniforms(jax.random.uniform(key, shape + (2,)), radius)
+
+
+@functools.lru_cache(maxsize=None)
+def disk_int_offset_table(radius: float, n: int = 4096):
+    """Static (n, 2) int table distributed as
+    trunc(disk_from_uniforms(U, radius)) — the reference's integer
+    spatial-neighbor offset (pg/ReSTIRIntegrator.cpp:334-341, glm
+    ivec2 truncation, including the double-width 0 row/column quirk).
+
+    Why a table: the float path's cos/sin (and any fused float chain)
+    may round differently between compilations (e.g. sharded vs
+    unsharded programs), flipping trunc() at cell boundaries — the one
+    source of sharded/unsharded divergence (round-4 Weak #2). Indexing
+    a constant table with the top bits of the uniform is integer-exact
+    in every compilation. r^2 ~ U(0,R) makes the float pick UNIFORM
+    over the disk of radius sqrt(R), so each integer cell's probability
+    is its area overlap with that disk — integrated here on a fine
+    host-side float64 subgrid and quantized to n slots by largest
+    remainder (cell-probability error <= 1/n)."""
+    rad = float(np.sqrt(max(radius, 0.0)))
+    m = 2048
+    xs = (np.arange(m, dtype=np.float64) + 0.5) / m * 2 * rad - rad
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    inside = gx * gx + gy * gy <= rad * rad
+    ix = np.trunc(gx[inside]).astype(np.int64)
+    iy = np.trunc(gy[inside]).astype(np.int64)
+    k = int(np.ceil(rad)) + 1
+    w = 2 * k + 1
+    hist = np.bincount((ix + k) * w + (iy + k), minlength=w * w)
+    probs = hist / hist.sum()
+    counts = np.floor(probs * n).astype(np.int64)
+    rem = probs * n - counts
+    short = n - counts.sum()
+    counts[np.argsort(-rem)[:short]] += 1
+    cells = np.stack([np.arange(w * w) // w - k,
+                      np.arange(w * w) % w - k], axis=1)
+    table = np.repeat(cells, counts, axis=0).astype(np.float32)
+    assert table.shape == (n, 2)
+    return table
+
+
+def disk_int_from_uniform(u, radius: float):
+    """Integer disk offsets (dx, dy) from ONE uniform draw via the
+    static table — bitwise identical across compilations (the float
+    u -> index step is a single exact power-of-two scale + floor)."""
+    table = jnp.asarray(disk_int_offset_table(float(radius)))
+    n = table.shape[0]
+    idx = jnp.clip((u * n).astype(jnp.int32), 0, n - 1)
+    off = mathx.take_rows(table, idx)
+    return off.astype(jnp.int32)
 
 
 def triangle_barycentrics_from_uniforms(u):

@@ -67,6 +67,10 @@ class Renderer:
         # accumulator; (m2 - mean^2)/n estimates the per-pixel variance
         # of the accumulated estimate — the SVGF denoiser's guide
         self.moment2 = jnp.zeros((h, w))
+        # SVGF temporal history (reprojected color + moments; survives
+        # accumulator resets on camera motion) — built lazily on the
+        # first denoised restir frame
+        self._svgf_hist = None
         self.acc_ctr = 0
         self.frame_ctr = 0
         self.render_time = 0.0
@@ -167,6 +171,15 @@ class Renderer:
         lum = mathx.luminance(frame)
         self.moment2 = self.moment2 + (
             lum * lum - self.moment2) / (self.acc_ctr + 1.0)
+        if (self.cfg.params.denoise and self.cfg.params.denoiser == "svgf"
+                and self._restir_state is not None):
+            from tpu_restir.denoise import (empty_svgf_history,
+                                            svgf_temporal_update)
+            if self._svgf_hist is None:
+                h, w = frame.shape[:2]
+                self._svgf_hist = empty_svgf_history(h, w)
+            self._svgf_hist, _c, _v = svgf_temporal_update(
+                self._svgf_hist, frame, self._restir_state.gb_prev)
         self.acc_ctr += 1
         self.frame_ctr += 1
         if not self.cfg.accumulate or self.acc_ctr > self.cfg.max_acc_count:
@@ -248,7 +261,8 @@ class Renderer:
                 raise ValueError(
                     "denoise=True requires the 'restir' integrator (the "
                     "denoiser's guide buffers come from its G-buffer)")
-            from tpu_restir.denoise import denoise_accumulator
+            from tpu_restir.denoise import (denoise_accumulator,
+                                            spatial_variance)
             from tpu_restir.mathx import luminance
             if self.acc_ctr >= 2:
                 mean_l = luminance(self.accumulator)
@@ -256,6 +270,22 @@ class Renderer:
                     / self.acc_ctr
             else:
                 var = None  # spatial fallback (SVGF first-frames rule)
+            if self._svgf_hist is not None:
+                # per-pixel: prefer the reprojected temporal history
+                # where it has integrated MORE frames than the
+                # accumulator (camera motion resets the accumulator;
+                # the history survives via reprojection). Static-camera
+                # pixels keep the plain 1/n accumulator (lower variance
+                # than the EMA for long runs).
+                hs = self._svgf_hist
+                use_h = (hs.length > float(self.acc_ctr))[..., None]
+                img = jnp.where(use_h, hs.color, img)
+                var_h = jnp.where(
+                    hs.length >= 4.0,
+                    jnp.maximum(hs.m2 - hs.m1 * hs.m1, 0.0),
+                    spatial_variance(hs.color))
+                var = var_h if var is None else jnp.where(
+                    use_h[..., 0], var_h, var)
             img = denoise_accumulator(img, self._restir_state.gb_prev,
                                       variance=var,
                                       method=params.denoiser)

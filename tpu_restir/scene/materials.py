@@ -88,6 +88,11 @@ class MaterialTable(struct.PyTreeNode):
     roughness: jnp.ndarray     # (M,) — GGX alpha = roughness^2 (MaterialTS)
     mat_type: jnp.ndarray      # (M,) int32
     tex_index: jnp.ndarray     # (M, 4) int32 — diffuse/specular/shininess/normal
+    # Static: sorted distinct mat_type values in the table. Lets passes
+    # specialize at trace time (e.g. the slim reuse payload when no
+    # specular-lobed material exists); () = unknown (no specialization).
+    types_present: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                  default=())
 
     @property
     def count(self) -> int:
@@ -119,6 +124,7 @@ def build_material_table(specs: List[MaterialSpec]) -> MaterialTable:
         mat_type=jnp.asarray(np.array([s.mat_type for s in specs],
                                       dtype=np.int32)),
         tex_index=jnp.asarray(tex),
+        types_present=tuple(sorted({s.mat_type for s in specs})),
     )
 
 
@@ -145,6 +151,7 @@ def gather_materials(table: MaterialTable, mat_id: jnp.ndarray):
         roughness=r[..., 18],
         mat_type=r[..., 19].astype(jnp.int32),
         tex_index=r[..., 20:24].astype(jnp.int32),
+        types_present=table.types_present,
     )
 
 
