@@ -165,6 +165,26 @@ def main():
         except Exception as e:  # noqa: BLE001 — secondary metric only
             extras.append(f"{label} failed:{type(e).__name__}")
 
+    # 1M-triangle scale proof, fully isolated in a subprocess with a hard
+    # timeout so a hang or compile failure can never cost the main metric
+    try:
+        import os
+        import subprocess
+        import sys
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools", "bench_terrain1m.py")],
+            capture_output=True, text=True, timeout=1500)
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("TERRAIN1M")), None)
+        if line:
+            parts = line.split()
+            extras.append(f"terrain1M {parts[1]} (rpp {parts[3]})")
+        else:
+            extras.append(f"terrain1M failed:rc{r.returncode}")
+    except Exception as e:  # noqa: BLE001
+        extras.append(f"terrain1M failed:{type(e).__name__}")
+
     baseline_mrays = 2.0  # reference CPU fwd (BASELINE.md derived throughput)
     print(json.dumps({
         "metric": "restir_1080p_mrays_per_s_fwd_bwd",

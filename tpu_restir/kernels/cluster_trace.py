@@ -57,9 +57,11 @@ G = 8    # packets per grid step (amortizes per-step overhead; also the
 # contiguous triangle range, so its AABB is tight); phase 1 culls and
 # orders superclusters, and the kernel expands each shortlist entry into
 # its F cluster blocks. At F = 1 (every scene up to ~131k tris at B=64)
-# this is bit-identical to the flat scheme. SMEM at S=2048:
-# 2 x (8, 2048) x 4 B + (2048, 8) x 4 B boxes = 196 KB.
-SUPER_MAX = 2048
+# this is bit-identical to the flat scheme. SMEM at S=4096:
+# 2 x (8, 4096) x 4 B shortlists + the (8, <=BOX_MAX) box table.
+# 4096 measured better than 2048 at 1M tris (F=4 vs F=8: 16.1 -> 17.6
+# Mrays/s — finer shortlists waste fewer forced expansions).
+SUPER_MAX = 4096
 
 # Test hook: run the Mosaic kernels in the Pallas interpreter (CPU) so the
 # suite can check them against the XLA backends without TPU hardware.
@@ -84,6 +86,13 @@ INTERPRET = False
 SKIP_MODE = None
 SKIP_CLOSEST = 0
 SKIP_ANY = 5
+
+# Cluster-granular slab-cull boxes fit SMEM up to this cluster count
+# (the (8, C) f32 table costs ~32 B/cluster of the ~1 MB budget next to
+# the (G, S) shortlists — 501 KB + 262 KB compiles at C=15.7k/S=3917);
+# above it the cull falls back to supercluster boxes (coarser — mostly
+# useless at factor > 1, but SMEM-safe).
+BOX_MAX = 16_000
 
 # Scenes at or below this cluster count run without per-ray culls:
 # their packets traverse only 1-5 rounds, where the cull's extra
@@ -283,7 +292,7 @@ def _slab_live(tent, texit, upper):
 
 def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                     out_ref, buf, sem, *, block, n_clusters, n_super,
-                    factor, pair, skip, early_out):
+                    factor, pair, skip, early_out, box_cluster=True):
     """Per-packet front-to-back traversal, closest hit.
 
     Shortlist entries are SUPERCLUSTERS (F = factor consecutive
@@ -334,9 +343,10 @@ def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                 sem.at[slot, half])
 
         def slab_h(jr, h, upper):
-            q = slot_q(jr, h)
+            bi = slot_cluster(jr, h) if box_cluster \
+                else sl_ref[g, slot_q(jr, h)]
             tent, texit = _slab_entry_exit(
-                box_ref, sl_ref[g, q], ox, oy, oz, ix, iy, iz, tn)
+                box_ref, bi, ox, oy, oz, ix, iy, iz, tn)
             return _slab_live(tent, texit, upper)
 
         def flags_for(jr):
@@ -533,7 +543,7 @@ def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
 
 def _any_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                 out_ref, buf, sem, *, block, n_clusters, n_super, factor,
-                pair, skip, early_out):
+                pair, skip, early_out, box_cluster=True):
     c_last = n_clusters - 1
     s_last = n_super - 1
 
@@ -566,9 +576,10 @@ def _any_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                 sem.at[slot, half])
 
         def slab_h(jr, h):
-            q = slot_q(jr, h)
+            bi = slot_cluster(jr, h) if box_cluster \
+                else sl_ref[g, slot_q(jr, h)]
             tent, texit = _slab_entry_exit(
-                box_ref, sl_ref[g, q], ox, oy, oz, ix, iy, iz, tn)
+                box_ref, bi, ox, oy, oz, ix, iy, iz, tn)
             return _slab_live(tent, texit, tf)
 
         def flags_for(jr):
@@ -926,11 +937,13 @@ def _any_kernel_mxu(cnt_ref, sl_ref, ent_ref, o4_ref, d4_ref, tt_ref,
 # Wrappers: pad rays, run phase 1, launch the kernel
 # ---------------------------------------------------------------------------
 
-def _pack(o, d, tnear, tfar, scmin, scmax):
+def _pack(o, d, tnear, tfar, scmin, scmax, bmin, bmax):
     """Clamp tfar to the scene bbox, pad to a grid-step multiple, build
     the (Rp, 8, P) channel blocks + phase-1 shortlists (against the
-    supercluster AABBs scmin/scmax) + the packed (S, 8) SMEM box table
-    for the in-kernel per-ray slab test."""
+    supercluster AABBs scmin/scmax) + the packed (8, NB) SMEM box table
+    for the in-kernel per-ray slab test (bmin/bmax: CLUSTER-granular
+    when they fit SMEM, else the supercluster boxes — per-cluster
+    granularity is what makes the cull effective at factor > 1)."""
     from tpu_restir.accel.fcluster import _clamp_tfar_bbox
 
     r = o.shape[0]
@@ -947,12 +960,12 @@ def _pack(o, d, tnear, tfar, scmin, scmax):
         tfar = jnp.concatenate([tfar, jnp.full((pad,), -1.0, tfar.dtype)])
     rp = (r + pad) // P
     cnt, sl, ent = build_shortlists(o, d, tnear, tfar, scmin, scmax, P)
-    # (8, S) layout — SMEM pads each ROW's minor dim to 512 B, so the
-    # natural (S, 8) table would cost S x 512 B (~1 MB at S=2048, over
-    # the 1 MB SMEM budget); transposed it costs 8 x 4S B.
+    # (8, NB) layout — SMEM pads each ROW's minor dim to 512 B, so the
+    # natural (NB, 8) table would cost NB x 512 B (~1 MB at NB=2048,
+    # over the 1 MB SMEM budget); transposed it costs 8 x 4NB B.
     boxes = jnp.concatenate(
-        [scmin.T, scmax.T, jnp.zeros((2, scmin.shape[0]), jnp.float32)],
-        axis=0)                                               # (8, S)
+        [bmin.T, bmax.T, jnp.zeros((2, bmin.shape[0]), jnp.float32)],
+        axis=0)                                               # (8, NB)
     rays = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
                       d[:, 2], tnear, tfar], axis=0)          # (8, R)
     rays = jnp.swapaxes(rays.reshape(8, rp, P), 0, 1)         # (Rp, 8, P)
@@ -1062,11 +1075,15 @@ def _super_boxes(cmin, cmax, factor: int):
             jnp.max(cmax.reshape(s, factor, 3), axis=1))
 
 
-def _skip_for(kind: str, c: int) -> int:
+def _skip_for(kind: str, c: int, factor: int = 1) -> int:
     if c <= SMALL_C:
         return 0
     if SKIP_MODE is not None:
         return SKIP_MODE
+    if factor > 1 and c <= BOX_MAX:
+        # per-cluster culls pay for themselves once every shortlist
+        # entry expands to F cluster rounds (see BOX_MAX)
+        return 5
     return SKIP_CLOSEST if kind == 'closest' else SKIP_ANY
 
 
@@ -1081,18 +1098,22 @@ def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
     With cwoop (C, 8, 384) the MXU Woop kernel runs instead of the fused
     MT kernel (watertight-epsilon hit test, kernels/woop.py semantics)."""
     c, block, _ = ctris.shape
+    if factor == 1:
+        factor = pick_factor(c)   # auto: keep shortlists SMEM-bounded
     if cwoop is not None and block == _WCOMP and factor == 1:
         return _trace_closest_mxu(cwoop, cmin, cmax, o, d, tnear, tfar,
                                   block)
     scmin, scmax = _super_boxes(cmin, cmax, factor)
     s = scmin.shape[0]
+    box_cluster = factor == 1 or c <= BOX_MAX
+    bmin, bmax = (cmin, cmax) if box_cluster else (scmin, scmax)
     rays, cnt, sl, ent, boxes, rp, r = _pack(o, d, tnear, tfar,
-                                             scmin, scmax)
+                                             scmin, scmax, bmin, bmax)
     out = pl.pallas_call(
         functools.partial(_closest_kernel, block=block, n_clusters=c,
                           n_super=s, factor=factor, pair=_pair(block),
-                          skip=_skip_for('closest', c),
-                          early_out=True),
+                          skip=_skip_for('closest', c, factor),
+                          early_out=True, box_cluster=box_cluster),
         interpret=INTERPRET,
         grid=(rp // G,),
         in_specs=[
@@ -1102,7 +1123,7 @@ def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, s), lambda i: (0, 0),
+            pl.BlockSpec((8, boxes.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1124,17 +1145,21 @@ def trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
               factor: int = 1):
     """Any-hit (occlusion) over flat rays (R, 3) -> (R,) bool."""
     c, block, _ = ctris.shape
+    if factor == 1:
+        factor = pick_factor(c)   # auto: keep shortlists SMEM-bounded
     if cwoop is not None and block == _WCOMP and factor == 1:
         return _trace_any_mxu(cwoop, cmin, cmax, o, d, tnear, tfar, block)
     scmin, scmax = _super_boxes(cmin, cmax, factor)
     s = scmin.shape[0]
+    box_cluster = factor == 1 or c <= BOX_MAX
+    bmin, bmax = (cmin, cmax) if box_cluster else (scmin, scmax)
     rays, cnt, sl, ent, boxes, rp, r = _pack(o, d, tnear, tfar,
-                                             scmin, scmax)
+                                             scmin, scmax, bmin, bmax)
     out = pl.pallas_call(
         functools.partial(_any_kernel, block=block, n_clusters=c,
                           n_super=s, factor=factor, pair=_pair(block),
-                          skip=_skip_for('any', c),
-                          early_out=True),
+                          skip=_skip_for('any', c, factor),
+                          early_out=True, box_cluster=box_cluster),
         interpret=INTERPRET,
         grid=(rp // G,),
         in_specs=[
@@ -1144,7 +1169,7 @@ def trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, s), lambda i: (0, 0),
+            pl.BlockSpec((8, boxes.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -120,6 +120,47 @@ def shading_spec(name: str, n_pixels: int, flops_per_pixel: float,
                       bytes_hbm=n_pixels * channels * 4 * 2)
 
 
+# Windowed-gather throughput constant: the Pallas neighbor gather
+# (kernels/local_gather.py) is bound by its per-tile take_along_axis
+# count, not FLOPs or HBM. Calibrated on v5e from the round-4
+# measurement: 45 ms for 1080p x 5 taps x 32 ch x r=5 ->
+# 2 takes x 11 rows x 5 taps x 32 ch x 2025 tiles / 45 ms.
+TAKE_TILE_OPS_PER_S = 158e6
+
+
+def gather_spec(name: str, n_pixels: int, taps: int, channels: int,
+                r_bound: int) -> KernelSpec:
+    """Work model for the windowed neighbor gather: take-count-bound.
+    The 'flops' figure counts take_along_axis (8,128)-tile ops at the
+    calibrated TAKE rate (encoded by scaling to VPU-equivalent flops so
+    KernelSpec's ceiling math applies); bytes = payload window reads +
+    tap writes."""
+    tiles = n_pixels / 1024.0
+    takes = 2.0 * (2 * r_bound + 1) * taps * channels * tiles
+    # express the take bound as equivalent VPU flops: rate ratio
+    eq_flops = takes * (VPU_F32_TOPS_EST * 1e12 / TAKE_TILE_OPS_PER_S)
+    bytes_hbm = (n_pixels * channels * 4            # window reads (≈1x)
+                 + n_pixels * taps * channels * 4)  # tap outputs
+    return KernelSpec(name=name, flops=eq_flops, bytes_hbm=bytes_hbm)
+
+
+def phat_spec(name: str, n_pixels: int, n_evals: int) -> KernelSpec:
+    """Elementwise p_hat evaluation model (phat.evaluate_p_hat without
+    the occlusion query): ~220 VPU flops/pixel (BRDF dispatch + geometry
+    terms) over ~24 channels of sample+surface inputs + 1 output."""
+    return KernelSpec(name=name, flops=n_pixels * 220.0 * n_evals,
+                      bytes_hbm=n_pixels * 25 * 4 * n_evals)
+
+
+def fused_query_spec(name: str, n_rays: int, n_tris: int) -> KernelSpec:
+    """Work model for the fused small-scene kernel (kernels/ray_tri):
+    every ray tests every (padded) triangle from SMEM."""
+    pairs = float(n_rays) * n_tris
+    flops = pairs * (MT_FLOPS_PER_PAIR + REDUCE_FLOPS_PER_PAIR)
+    return KernelSpec(name=name, flops=flops,
+                      bytes_hbm=n_rays * 12 * 4.0)
+
+
 @dataclass
 class FrameModel:
     """Accumulates per-kernel specs for a frame; prints a roofline table."""
