@@ -69,7 +69,12 @@ def measure_prefix(scene, cam, cfg):
             st, acc = carry
             fr, st = restir_step(scene, cam, cfg,
                                  rng.make_frame_seed(0, i), st, i)
-            return st, acc + jnp.sum(fr)
+            # depend on frame AND state: the profile_stop_after prefixes
+            # return a zero frame + the computed state, so summing only
+            # `fr` would let XLA dead-code the whole prefix
+            acc = (acc + jnp.sum(fr) + jnp.sum(st.gb_prev.depth)
+                   + jnp.sum(st.res_prev.w_sum))
+            return st, acc
         _st, acc = jax.lax.fori_loop(
             0, INNER, body, (state, jnp.float32(0.0)))
         return acc
@@ -136,11 +141,29 @@ def scene_report(label, scene, cam_cfg):
         visited = float(jnp.sum(cnt)) * f
         b = scene.cluster_tris.shape[1]
         fm.add(roofline.ptrace_query_spec(
-            f"intersect closest x{n_q_closest} (primary-like lists)",
+            f"intersect closest x{n_q_closest} (primary lists)",
             r_closest, int(visited * n_q_closest), b))
+        # shadow-query model: shortlists of REAL shadow segments (hit
+        # point -> emissive sample), not the primary frustum's
+        from tpu_restir.config import IntersectorConfig
+        hit = intersect_mod.intersect_closest(
+            scene, of, df, tn, jnp.full((N_PIX,), 1e30),
+            IntersectorConfig(backend="ptrace"))
+        hp = of + df * jnp.where(jnp.isfinite(hit.t), hit.t, 1.0)[:, None]
+        import numpy as _np
+        _r = _np.random.default_rng(5)
+        e_idx = scene.lights.tri_idx
+        pick = jnp.asarray(_r.integers(0, e_idx.shape[0], N_PIX))
+        tgt = scene.tri_v0[e_idx[pick]]
+        seg = tgt - hp
+        dist = jnp.linalg.norm(seg, axis=-1)
+        sdir = seg / jnp.maximum(dist, 1e-9)[:, None]
+        cnt2, _s2, _e2 = build_shortlists(hp, sdir, tn, dist - 1e-3,
+                                          scmin, scmax)
+        visited2 = float(jnp.sum(cnt2)) * f
         fm.add(roofline.ptrace_query_spec(
-            f"intersect any x{n_q_any} (primary-like lists)", r_any,
-            int(visited * n_q_any), b))
+            f"intersect any x{n_q_any} (shadow lists)", r_any,
+            int(visited2 * n_q_any), b))
     n_phat = 4 + 17 + (1 + 1 + 1)   # temporal 4 + spatial 17 + initial 3
     fm.add(roofline.phat_spec(f"p_hat eval x{n_phat}", N_PIX, n_phat))
     from tpu_restir.render.integrators.restir import packed as pk

@@ -27,6 +27,24 @@ keeps the dense-culling idea but makes the per-packet work exact:
   Embree's near-child-first BVH descent); any-hit stops when every live
   ray is occluded.
 
+Round-5 additions (measured A/B record: docs/PERF_NOTES.md):
+
+  SUPERCLUSTERS: scenes beyond SUPER_MAX clusters group F consecutive
+  leaf-order clusters per shortlist entry so the (G, S) SMEM shortlists
+  stay bounded at any scene size; the kernel expands each entry into F
+  cluster slots (terrain at 1e6 tris: C=15.7k, F=4, S=3.9k).
+
+  PER-RAY CULLS (SKIP_MODE): before a cluster slot's MT tile, a
+  per-ray slab test against its AABB (SMEM (8, C) table) combined with
+  the per-ray upper bound min(best_t, tfar) / not-yet-occluded can skip
+  the slot. The skip bitmask is computed one round AHEAD and carried as
+  a scalar (mode 5), so dead slots skip their DMA too and the
+  vector->scalar reduction latency overlaps live MT work — inline
+  `pl.when(jnp.any(live))` per slot measured SLOWER than no culling at
+  all. Production: any-hit culls (shadow packets union divergent
+  per-pixel light targets — 689 listed vs 230 live pairs/ray);
+  closest-hit does not (the watermark already exploits the order).
+
 All control flow is a single scalar-carried while_loop per packet; the
 vector state (running min / occlusion mask) lives in the output refs.
 Compiles in seconds (vs minutes for the XLA formulation) because the
@@ -49,6 +67,9 @@ _BIGI = np.int32(1 << 30)
 P = 256  # rays per packet == one 8x32 pixel tile
 G = 8    # packets per grid step (amortizes per-step overhead; also the
          # minimum SMEM block sublane count the TPU lowering accepts)
+G_SMALL = 32  # small scenes (C <= SMALL_C) amortize the per-step
+              # pipeline overhead over 4x the packets — their rounds are
+              # so short that step setup is a visible frame fraction
 
 # Maximum shortlist width S: phase-1 shortlists and entry distances live
 # in SMEM as (G, S) blocks, so S must be bounded regardless of scene
@@ -292,7 +313,8 @@ def _slab_live(tent, texit, upper):
 
 def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                     out_ref, buf, sem, *, block, n_clusters, n_super,
-                    factor, pair, skip, early_out, box_cluster=True):
+                    factor, pair, skip, early_out, box_cluster=True,
+                    g_step=G):
     """Per-packet front-to-back traversal, closest hit.
 
     Shortlist entries are SUPERCLUSTERS (F = factor consecutive
@@ -538,12 +560,12 @@ def _closest_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
 
         return 0
 
-    jax.lax.fori_loop(0, G, packet, 0, unroll=False)
+    jax.lax.fori_loop(0, g_step, packet, 0, unroll=False)
 
 
 def _any_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
                 out_ref, buf, sem, *, block, n_clusters, n_super, factor,
-                pair, skip, early_out, box_cluster=True):
+                pair, skip, early_out, box_cluster=True, g_step=G):
     c_last = n_clusters - 1
     s_last = n_super - 1
 
@@ -725,7 +747,7 @@ def _any_kernel(cnt_ref, sl_ref, ent_ref, box_ref, rays_ref, ctris,
 
         return 0
 
-    jax.lax.fori_loop(0, G, packet, 0, unroll=False)
+    jax.lax.fori_loop(0, g_step, packet, 0, unroll=False)
 
 
 # ---------------------------------------------------------------------------
@@ -937,7 +959,7 @@ def _any_kernel_mxu(cnt_ref, sl_ref, ent_ref, o4_ref, d4_ref, tt_ref,
 # Wrappers: pad rays, run phase 1, launch the kernel
 # ---------------------------------------------------------------------------
 
-def _pack(o, d, tnear, tfar, scmin, scmax, bmin, bmax):
+def _pack(o, d, tnear, tfar, scmin, scmax, bmin, bmax, g: int = G):
     """Clamp tfar to the scene bbox, pad to a grid-step multiple, build
     the (Rp, 8, P) channel blocks + phase-1 shortlists (against the
     supercluster AABBs scmin/scmax) + the packed (8, NB) SMEM box table
@@ -952,7 +974,7 @@ def _pack(o, d, tnear, tfar, scmin, scmax, bmin, bmax):
     tnear = jnp.broadcast_to(tnear, (r,))
     tfar = _clamp_tfar_bbox(o, d, tnear, jnp.broadcast_to(tfar, (r,)),
                             lo, hi)
-    pad = (-r) % (G * P)
+    pad = (-r) % (g * P)
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)])
@@ -1107,29 +1129,31 @@ def trace_closest(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
     s = scmin.shape[0]
     box_cluster = factor == 1 or c <= BOX_MAX
     bmin, bmax = (cmin, cmax) if box_cluster else (scmin, scmax)
+    g = G_SMALL if c <= SMALL_C else G
     rays, cnt, sl, ent, boxes, rp, r = _pack(o, d, tnear, tfar,
-                                             scmin, scmax, bmin, bmax)
+                                             scmin, scmax, bmin, bmax, g)
     out = pl.pallas_call(
         functools.partial(_closest_kernel, block=block, n_clusters=c,
                           n_super=s, factor=factor, pair=_pair(block),
                           skip=_skip_for('closest', c, factor),
-                          early_out=True, box_cluster=box_cluster),
+                          early_out=True, box_cluster=box_cluster,
+                          g_step=g),
         interpret=INTERPRET,
-        grid=(rp // G,),
+        grid=(rp // g,),
         in_specs=[
-            pl.BlockSpec((G, 1), lambda i: (i, 0),
+            pl.BlockSpec((g, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, s), lambda i: (i, 0),
+            pl.BlockSpec((g, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, s), lambda i: (i, 0),
+            pl.BlockSpec((g, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, boxes.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((G, 4, P), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, 4, P), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, 4, P), jnp.float32),
         scratch_shapes=[
@@ -1153,29 +1177,31 @@ def trace_any(ctris, cmin, cmax, o, d, tnear, tfar, cwoop=None,
     s = scmin.shape[0]
     box_cluster = factor == 1 or c <= BOX_MAX
     bmin, bmax = (cmin, cmax) if box_cluster else (scmin, scmax)
+    g = G_SMALL if c <= SMALL_C else G
     rays, cnt, sl, ent, boxes, rp, r = _pack(o, d, tnear, tfar,
-                                             scmin, scmax, bmin, bmax)
+                                             scmin, scmax, bmin, bmax, g)
     out = pl.pallas_call(
         functools.partial(_any_kernel, block=block, n_clusters=c,
                           n_super=s, factor=factor, pair=_pair(block),
                           skip=_skip_for('any', c, factor),
-                          early_out=True, box_cluster=box_cluster),
+                          early_out=True, box_cluster=box_cluster,
+                          g_step=g),
         interpret=INTERPRET,
-        grid=(rp // G,),
+        grid=(rp // g,),
         in_specs=[
-            pl.BlockSpec((G, 1), lambda i: (i, 0),
+            pl.BlockSpec((g, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, s), lambda i: (i, 0),
+            pl.BlockSpec((g, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, s), lambda i: (i, 0),
+            pl.BlockSpec((g, s), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, boxes.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, 8, P), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, 8, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((G, P), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((g, P), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, P), jnp.float32),
         scratch_shapes=[

@@ -97,21 +97,30 @@ def disk_int_offset_table(radius: float, n: int = 4096):
     rem = probs * n - counts
     short = n - counts.sum()
     counts[np.argsort(-rem)[:short]] += 1
-    cells = np.stack([np.arange(w * w) // w - k,
-                      np.arange(w * w) % w - k], axis=1)
-    table = np.repeat(cells, counts, axis=0).astype(np.float32)
-    assert table.shape == (n, 2)
-    return table
+    # occupied cells in packed order with cumulative slot starts: slot
+    # index s in [0, n) maps to the last cell whose start <= s, so
+    # cell(s) = sum_j [s >= start_j] * delta_j with delta the cell-value
+    # differences — consumed by the compare-sum in disk_int_from_uniform
+    # (no gather).
+    occ = np.nonzero(counts)[0]
+    starts = np.concatenate([[0], np.cumsum(counts[occ])[:-1]])
+    cells = np.stack([occ // w - k, occ % w - k], axis=1)
+    deltas = np.diff(cells, axis=0, prepend=np.zeros((1, 2), np.int64))
+    return (starts.astype(np.float32), deltas.astype(np.float32), int(n))
 
 
 def disk_int_from_uniform(u, radius: float):
-    """Integer disk offsets (dx, dy) from ONE uniform draw via the
-    static table — bitwise identical across compilations (the float
-    u -> index step is a single exact power-of-two scale + floor)."""
-    table = jnp.asarray(disk_int_offset_table(float(radius)))
-    n = table.shape[0]
-    idx = jnp.clip((u * n).astype(jnp.int32), 0, n - 1)
-    off = mathx.take_rows(table, idx)
+    """Integer disk offsets (dx, dy) from ONE uniform draw — bitwise
+    identical across compilations: the float u -> slot step is one
+    exact power-of-two scale + floor, and the slot -> cell map is a
+    dense compare-sum over the ~100 occupied cells (a small matmul —
+    every operand and partial sum is a small integer, exact in any
+    precision, so no compilation can round it differently; a 2M-row
+    table GATHER here measured ~5 ms/draw and cost Cornell fwd 13%)."""
+    starts, deltas, n = disk_int_offset_table(float(radius))
+    idx = jnp.clip(jnp.floor(u * n), 0, n - 1)
+    ge = (idx[..., None] >= jnp.asarray(starts)).astype(jnp.float32)
+    off = ge @ jnp.asarray(deltas)                 # (..., 2)
     return off.astype(jnp.int32)
 
 
