@@ -62,3 +62,40 @@ def test_pixel_samplers():
     assert (r >= 0).all() and (r < 1).all()
     s = np.asarray(sampling.pixel_offsets(key, (1000,), "stratified", (5, 5)))
     assert (s >= 0).all() and (s < 1).all()
+
+
+def test_disk_int_offsets_match_reference_distribution():
+    """The integer-exact neighbor-offset draw (compare-sum over the
+    static cell table) must reproduce the distribution of the
+    reference's trunc(float disk sample) (pg/ReSTIRIntegrator.cpp:
+    334-341 + glm ivec2 truncation) and stay inside the disk bound the
+    backward scatter relies on (dy^2+dx^2 <= radius)."""
+    import jax.numpy as jnp
+
+    radius = 30.0
+    rng = np.random.default_rng(11)
+    n = 200_000
+    u = jnp.asarray(rng.random(n, dtype=np.float64).astype(np.float32))
+    off = np.asarray(sampling.disk_int_from_uniform(u, radius))
+    assert off.shape == (n, 2)
+    assert int((off[:, 0] ** 2 + off[:, 1] ** 2).max()) <= int(radius)
+
+    # float-path Monte Carlo reference
+    u2 = rng.random((n, 2))
+    theta = u2[:, 0] * 2 * np.pi
+    r = np.sqrt(u2[:, 1] * radius)
+    ref = np.stack([np.trunc(r * np.cos(theta)),
+                    np.trunc(r * np.sin(theta))], axis=1).astype(int)
+    k = 6
+    w = 2 * k + 1
+
+    def hist(a):
+        return np.bincount((a[:, 0] + k) * w + (a[:, 1] + k),
+                           minlength=w * w) / len(a)
+
+    # per-cell probability agreement within MC noise + 1/4096 quantization
+    assert np.abs(hist(off) - hist(ref)).max() < 4e-3
+
+    # determinism: same uniforms -> bitwise same offsets on every call
+    off2 = np.asarray(sampling.disk_int_from_uniform(u, radius))
+    np.testing.assert_array_equal(off, off2)
